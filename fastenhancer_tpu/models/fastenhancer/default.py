@@ -1,0 +1,690 @@
+"""FastEnhancer (RNNFormer) — TPU-native rebuild of the paper model.
+
+Reference behavior: models/fastenhancer/default/model.py (PyTorch). This is a
+from-scratch functional JAX design, NOT a translation:
+
+* One parameter pytree serves two apply modes — `forward` (whole-utterance
+  training graph, time-batched MXU matmuls) and `stream` (a single
+  `jax.lax.scan` whose carry pytree {stft, istft, K GRU hiddens} replaces the
+  reference's ONNX cache-list plumbing, reference: models/.../model.py:614-710).
+* BatchNorm uses global-batch statistics under pjit (== reference SyncBatchNorm,
+  models/.../model.py:121-126,181-184) with stats threaded functionally.
+* The deploy-time reparameterization removal (weight-norm strip, BN→conv merge,
+  pre-norm fold; reference: models/.../model.py:215-258,532-608) is a pure
+  param-tree transform `fold()`; folded and unfolded trees run through the SAME
+  apply code (a conv applies BN only if its subtree carries one).
+
+Architecture (reference: models/.../model.py:383-710): complex spectrogram
+[B,F,T,2] -> strided "reshape-trick" conv encoder over frequency -> learnable
+(or fixed mel/linear) frequency resampling -> K x RNNFormer blocks
+(time-GRU + freq-MHSA with post-BN residuals) -> skip-concat conv decoder ->
+scaled transposed-conv upsample -> complex ratio mask.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import nn as fnn
+from ...functional import (
+    STFTConfig,
+    compress,
+    uncompress,
+    compressed_stft,
+    compressed_istft,
+    stft_streaming_step,
+    istft_streaming_step,
+    init_stft_carry,
+    init_istft_carry,
+)
+
+Array = jax.Array
+Params = tp.Dict[str, tp.Any]
+
+
+# ---------------------------------------------------------------------------
+# Frequency-resampling filterbank init (reference: models/.../model.py:308-380)
+# ---------------------------------------------------------------------------
+
+def rf_pre_post_weights(
+    n_freq: int, n_filter: int, init: str, sr: int = 16_000
+) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Triangular filterbank weights [n_filter, n_freq] and its transpose-ish
+    inverse [n_freq, n_filter], row-normalized. init in {linear, mel}[_fixed]."""
+    if init.startswith("linear"):
+        delta = np.full((n_filter - 1, 1), (n_freq - 1) / (n_filter - 1))
+        f_filter = np.linspace(0, n_freq - 1, n_filter)
+    elif init.startswith("mel"):
+        def freq_idx_to_mel(f: float) -> float:
+            hz = f / n_freq * sr / 2
+            return 2595.0 * math.log10(1 + hz / 700)
+
+        max_hz = sr / 2 * (n_freq - 1) / n_freq
+        delta_hz = max_hz / (n_freq - 1)
+        max_mel = freq_idx_to_mel(n_freq - 1)
+
+        def mel_idx_to_freq_idx(n: float) -> float:
+            mel = n / (n_filter - 1) * max_mel
+            return 700.0 * (10 ** (mel / 2595) - 1) / delta_hz
+
+        # low filters too narrow for one bin -> linear there, mel above
+        f_filter: tp.List[float] = []
+        f_cur = mel_idx_to_freq_idx(0)
+        n_start = 0
+        for n_start in range(0, n_filter - 1):
+            f_next = mel_idx_to_freq_idx(n_start + 1)
+            if f_next - f_cur >= 1 and n_start <= f_cur:
+                break
+            f_filter.append(float(n_start))
+            f_cur = f_next
+        f_filter.extend(mel_idx_to_freq_idx(n) for n in range(n_start, n_filter))
+        f_filter = np.asarray(f_filter, dtype=np.float64)
+        delta = (f_filter[1:] - f_filter[:-1])[:, None]
+    else:
+        raise ValueError(f"unsupported rf init: {init}")
+
+    f_freqs = np.arange(n_freq, dtype=np.float64)
+    down = (f_filter[1:, None] - f_freqs[None, :]) / delta
+    up = (f_freqs[None, :] - f_filter[:-1, None]) / delta
+    down = np.concatenate([down, np.ones((1, n_freq))], axis=0)
+    up = np.concatenate([np.ones((1, n_freq)), up], axis=0)
+    pre = np.maximum(0.0, np.minimum(down, up))
+    pre = pre / pre.sum(axis=1, keepdims=True)
+    post = pre.T.copy()
+    post = post / post.sum(axis=1, keepdims=True)
+    return pre.astype(np.float32), post.astype(np.float32)
+
+
+def positional_embedding(channels: int, freq: int) -> np.ndarray:
+    """Log-spaced sin/cos freq embedding [F, C] (reference: model.py:98-110)."""
+    f = np.arange(1, freq + 1, dtype=np.float64) * (math.pi / freq)
+    c = np.exp(np.linspace(math.log(1.0), math.log(freq - 1), channels // 2))
+    grid = f[:, None] * c[None, :]
+    return np.concatenate([np.sin(grid), np.cos(grid)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RNNFormerConfig:
+    num_blocks: int = 3
+    channels: int = 32
+    freq: int = 32
+    num_heads: int = 4
+    eps: float = 1e-8
+    positional_embedding: tp.Optional[str] = "train"  # None | "fixed" | "train"
+    attn_bias: bool = False
+    post_act: bool = False
+    pre_norm: bool = False
+    p_dropout: float = 0.0
+
+
+class Model:
+    """FastEnhancer default. Accepts the reference's `model_kwargs` unchanged
+    (configs/fastenhancer/*.yaml)."""
+
+    def __init__(
+        self,
+        channels: int = 64,
+        kernel_size: tp.Sequence[int] = (8, 3, 3),
+        stride: int = 4,
+        rnnformer_kwargs: tp.Optional[tp.Dict[str, tp.Any]] = None,
+        activation: str = "ReLU",
+        activation_kwargs: tp.Optional[tp.Dict[str, tp.Any]] = None,
+        n_fft: int = 512,
+        hop_size: int = 256,
+        win_size: int = 512,
+        window: tp.Optional[str] = "hann",
+        stft_normalized: bool = False,
+        mask: tp.Optional[str] = None,
+        input_compression: float = 0.3,
+        weight_norm: bool = False,
+        normalize_final_conv: bool = False,
+        pre_post_init: tp.Optional[str] = None,
+        resnet: bool = False,
+        sampling_rate: int = 16_000,
+    ):
+        del activation_kwargs  # torch `inplace` flag — meaningless here
+        self.channels = channels
+        self.kernel_size = list(kernel_size)
+        self.stride = stride
+        self.rf = RNNFormerConfig(**(rnnformer_kwargs or {}))
+        self.activation = activation
+        self.act = fnn.get_activation(activation)
+        self.n_fft = n_fft
+        self.hop_size = hop_size
+        self.stft_cfg = STFTConfig(
+            n_fft=n_fft, hop_size=hop_size, win_size=win_size,
+            win_type=window, normalized=stft_normalized,
+        )
+        self.mask_act = {
+            None: lambda x: x,
+            "sigmoid": jax.nn.sigmoid,
+            "tanh": jnp.tanh,
+        }[mask]
+        self.input_compression = input_compression
+        self.weight_norm = weight_norm
+        self.normalize_final_conv = normalize_final_conv
+        self.pre_post_init = pre_post_init
+        self.resnet = resnet
+        self.sampling_rate = sampling_rate
+        self.freq = n_fft // 2 // stride  # encoder-out freq bins
+        assert kernel_size[0] % stride == 0
+        assert (kernel_size[0] - stride) % 2 == 0
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key: Array) -> tp.Dict[str, Params]:
+        cfg, rf = self, self.rf
+        c = cfg.channels
+        keys = iter(jax.random.split(key, 64))
+
+        params: Params = {}
+        stats: Params = {}
+
+        # NOTE: weight_norm in the reference applies ONLY to the RNNFormer GRU
+        # and qkv weights (models/.../model.py:209-213); convolutions are plain.
+        def conv_bn(key, out_ch, in_ch, k):
+            p = fnn.torch_conv1d_init(key, out_ch, in_ch, k, bias=False)
+            bn_p, bn_s = fnn.init_batch_norm(out_ch)
+            return {"conv": p, "bn": bn_p}, {"bn": bn_s}
+
+        # Encoder PreNet: strided conv via reshape trick (in=2*stride, k=k0/stride)
+        k0 = cfg.kernel_size[0]
+        params["enc_pre"], stats["enc_pre"] = conv_bn(
+            next(keys), c, 2 * cfg.stride, k0 // cfg.stride)
+
+        params["encoder"], stats["encoder"] = [], []
+        for k in cfg.kernel_size[1:]:
+            p, s = conv_bn(next(keys), c, c, k)
+            params["encoder"].append(p)
+            stats["encoder"].append(s)
+
+        # rf_pre / rf_post frequency resampling
+        if cfg.pre_post_init is None:
+            pre_w = fnn.torch_linear_init(next(keys), rf.freq, cfg.freq, False)["weight"]
+            post_w = fnn.torch_linear_init(next(keys), cfg.freq, rf.freq, False)["weight"]
+        else:
+            pre_w, post_w = map(jnp.asarray, rf_pre_post_weights(
+                cfg.freq, rf.freq, cfg.pre_post_init, cfg.sampling_rate))
+        conv_p, conv_s = conv_bn(next(keys), rf.channels, c, 1)
+        params["rf_pre"] = {"lin": {"weight": pre_w}, **conv_p}
+        stats["rf_pre"] = conv_s
+        conv_p, conv_s = conv_bn(next(keys), c, rf.channels, 1)
+        params["rf_post"] = {"lin": {"weight": post_w}, **conv_p}
+        stats["rf_post"] = conv_s
+
+        # RNNFormer blocks
+        params["rf_blocks"], stats["rf_blocks"] = [], []
+        for i in range(rf.num_blocks):
+            bk = jax.random.split(next(keys), 4)
+            rnn = fnn.init_gru(bk[0], rf.channels, rf.channels)
+            attn = fnn.init_attention(bk[1], rf.channels, rf.attn_bias)
+            if cfg.weight_norm:
+                rnn["weight_ih"] = fnn.to_wn(rnn["weight_ih"])
+                rnn["weight_hh"] = fnn.to_wn(rnn["weight_hh"])
+                attn["qkv"]["weight"] = fnn.to_wn(attn["qkv"]["weight"])
+            bn_rnn_p, bn_rnn_s = fnn.init_batch_norm(rf.channels)
+            bn_attn_p, bn_attn_s = fnn.init_batch_norm(rf.channels)
+            bp: Params = {
+                "rnn": rnn,
+                "rnn_fc": fnn.torch_linear_init(bk[2], rf.channels, rf.channels, False),
+                "rnn_post_norm": bn_rnn_p,
+                "attn": attn,
+                "attn_fc": fnn.torch_linear_init(bk[3], rf.channels, rf.channels, False),
+                "attn_post_norm": bn_attn_p,
+            }
+            bs: Params = {"rnn_post_norm": bn_rnn_s, "attn_post_norm": bn_attn_s}
+            if rf.pre_norm:
+                _, bs["rnn_pre_norm"] = fnn.init_batch_norm(rf.channels, affine=False)
+                _, bs["attn_pre_norm"] = fnn.init_batch_norm(rf.channels, affine=False)
+            if i == 0 and rf.positional_embedding is not None:
+                pe = jnp.asarray(positional_embedding(rf.channels, rf.freq))
+                bp["pe"] = {"weight": pe}
+            params["rf_blocks"].append(bp)
+            stats["rf_blocks"].append(bs)
+
+        # Decoder
+        params["decoder"], stats["decoder"] = [], []
+        for k in cfg.kernel_size[:0:-1]:
+            p1, s1 = conv_bn(next(keys), c, 2 * c, 1)
+            p2, s2 = conv_bn(next(keys), c, c, k)
+            params["decoder"].append({"conv1": p1["conv"], "bn1": p1["bn"],
+                                      "conv2": p2["conv"], "bn2": p2["bn"]})
+            stats["decoder"].append({"bn1": s1["bn"], "bn2": s2["bn"]})
+
+        # Decoder PostNet: 1x1 conv + BN + scaled transposed conv (C -> 2)
+        p1, s1 = conv_bn(next(keys), c, 2 * c, 1)
+        convt = fnn.torch_convtranspose1d_init(next(keys), c, 2, k0, bias=True)
+        convt["scale"] = jnp.ones(1)
+        params["dec_post"] = {**p1, "convt": convt}
+        stats["dec_post"] = s1
+        return {"params": params, "stats": stats}
+
+    # -- building blocks ------------------------------------------------------
+
+    def _conv_weight(self, p: Params) -> Array:
+        return fnn.maybe_wn_weight(p, "weight")
+
+    def _conv_bn_act(
+        self, p: Params, s: tp.Optional[Params], x: Array, *,
+        stride: int = 1, padding: int = 0, train: bool, act: bool = True,
+        eps: float = 1e-5,
+    ) -> tp.Tuple[Array, tp.Optional[Params]]:
+        """conv (+BN if present) (+activation). x: [N, F, Cin] channels-last."""
+        conv = dict(p["conv"])
+        conv["weight"] = self._conv_weight(p["conv"])
+        y = fnn.conv1d_cl(conv, x, stride=stride, padding=padding)
+        new_s = None
+        if "bn" in p and p["bn"] is not None:
+            y, new_bn = fnn.batch_norm(p["bn"], s["bn"], y, train=train, eps=eps)
+            new_s = {"bn": new_bn}
+        if act:
+            y = self.act(y)
+        return y, new_s
+
+    def _scaled_convt(self, p: Params, x: Array) -> Array:
+        """ScaledConvTranspose1d (reference: model.py:62-95)."""
+        w = p["weight"]
+        if "scale" in p:  # unfolded
+            if self.normalize_final_conv:
+                norm = jnp.sqrt(jnp.sum(jnp.square(w)))
+                w = w / jnp.maximum(norm, 1e-12) * p["scale"]
+            else:
+                w = w * p["scale"]
+        pad = (self.kernel_size[0] - self.stride) // 2
+        return fnn.conv_transpose1d_cl(
+            {"weight": w, "bias": p["bias"]}, x,
+            stride=self.stride, padding=pad)
+
+    def _strided_reshape(self, x: Array) -> Array:
+        """[N, F, C] -> pad -> [N, F/s, C*s] (stride-major channel order,
+        matching the reference StridedConv1d reshape, model.py:51-59)."""
+        s = self.stride
+        pad = (self.kernel_size[0] - s) // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        n, f, c = x.shape
+        return x.reshape(n, f // s, s * c)
+
+    # -- core network ----------------------------------------------------------
+
+    def model_forward(
+        self,
+        params: Params,
+        stats: Params,
+        spec: Array,
+        h0: tp.Optional[tp.List[Array]] = None,
+        train: bool = False,
+    ) -> tp.Tuple[Array, tp.List[Array], Params]:
+        """Compressed spec [B, F, T, 2] -> (mask [B, F, T, 2], h_T list, new_stats).
+
+        Reference: models/.../model.py:620-675 (model_forward).
+        """
+        cfg, rf = self, self.rf
+        b, f_in, t, _ = spec.shape
+        new_stats = jax.tree.map(lambda x: x, stats)  # structural copy
+
+        # [B, F, T, 2] -> [B*T, F, 2] channels-last over freq
+        x = spec.transpose(0, 2, 1, 3).reshape(b * t, f_in, 2)
+
+        # Encoder PreNet (strided reshape conv, stride folded into channels)
+        x = self._strided_reshape(x)
+        x, s = self._conv_bn_act(params["enc_pre"], stats["enc_pre"], x, train=train)
+        if s is not None:
+            new_stats["enc_pre"] = s
+        skips = [x]
+
+        for i, (p, st) in enumerate(zip(params["encoder"], stats["encoder"])):
+            x_in = x
+            k = cfg.kernel_size[1 + i]
+            x, s = self._conv_bn_act(p, st, x, padding=(k - 1) // 2, train=train)
+            if s is not None:
+                new_stats["encoder"][i] = s
+            skips.append(x)
+            if cfg.resnet:
+                x = x + x_in
+
+        # RNNFormer PreNet: freq resample (linear on F axis) + 1x1 conv + BN
+        x_res = x
+        w_pre = params["rf_pre"]["lin"]["weight"]
+        x = jnp.einsum("oF,nFc->noc", w_pre, x)
+        x, s = self._conv_bn_act(params["rf_pre"], stats["rf_pre"], x,
+                                 train=train, act=False)
+        if s is not None:
+            new_stats["rf_pre"] = s
+
+        # [B*T, F', C'] -> [T, B, F', C']
+        cc = x.shape[-1]
+        x = x.reshape(b, t, rf.freq, cc).transpose(1, 0, 2, 3)
+
+        h_out: tp.List[Array] = []
+        for i, (bp, bs) in enumerate(zip(params["rf_blocks"], stats["rf_blocks"])):
+            h_i = None if h0 is None else h0[i]
+            x, h_t, s = self._rnnformer_block(bp, bs, x, h_i, train=train)
+            h_out.append(h_t)
+            if s is not None:
+                new_stats["rf_blocks"][i] = s
+
+        # [T, B, F', C'] -> [B*T, F', C']
+        x = x.transpose(1, 0, 2, 3).reshape(b * t, rf.freq, cc)
+        w_post = params["rf_post"]["lin"]["weight"]
+        x = jnp.einsum("oF,nFc->noc", w_post, x)
+        x, s = self._conv_bn_act(params["rf_post"], stats["rf_post"], x,
+                                 train=train, act=False)
+        if s is not None:
+            new_stats["rf_post"] = s
+        if cfg.resnet:
+            x = x + x_res
+
+        # Decoder with skip concats
+        for i, (p, st) in enumerate(zip(params["decoder"], stats["decoder"])):
+            x_in = x
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            y, s1 = self._conv_bn_act(
+                {"conv": p["conv1"], "bn": p.get("bn1")},
+                {"bn": st["bn1"]} if st and "bn1" in st else None,
+                x, train=train)
+            k = cfg.kernel_size[len(cfg.kernel_size) - 1 - i]
+            y, s2 = self._conv_bn_act(
+                {"conv": p["conv2"], "bn": p.get("bn2")},
+                {"bn": st["bn2"]} if st and "bn2" in st else None,
+                y, padding=(k - 1) // 2, train=train)
+            if s1 is not None:
+                new_stats["decoder"][i] = {"bn1": s1["bn"], "bn2": s2["bn"]}
+            x = y
+            if cfg.resnet:
+                x = x + x_in
+
+        # Decoder PostNet
+        x = jnp.concatenate([x, skips.pop()], axis=-1)
+        x, s = self._conv_bn_act(params["dec_post"], stats["dec_post"], x, train=train)
+        if s is not None:
+            new_stats["dec_post"] = s
+        x = self._scaled_convt(params["dec_post"]["convt"], x)  # [B*T, F, 2]
+
+        mask = self.mask_act(x)
+        mask = mask.reshape(b, t, f_in, 2).transpose(0, 2, 1, 3)  # [B, F, T, 2]
+        return mask, h_out, new_stats
+
+    def _rnnformer_block(
+        self,
+        p: Params,
+        s: Params,
+        x: Array,
+        h0: tp.Optional[Array],
+        train: bool,
+    ) -> tp.Tuple[Array, Array, tp.Optional[Params]]:
+        """x: [T, B, F', C]. Reference: models/.../model.py:266-291."""
+        rf = self.rf
+        t, b, f, c = x.shape
+        new_s = dict(s) if s else None
+
+        # --- time GRU ---
+        x_in = x
+        y = x
+        if s is not None and "rnn_pre_norm" in s:
+            y, st = fnn.batch_norm(None, s["rnn_pre_norm"], y, train=train, eps=rf.eps)
+            new_s["rnn_pre_norm"] = st
+        y = y.reshape(t, b * f, c)
+        if h0 is None:
+            h0 = jnp.zeros((b * f, c), x.dtype)
+        y, h_t = fnn.gru(p["rnn"], y, h0)
+        y = y.reshape(t, b, f, c)
+        y = fnn.linear(p["rnn_fc"], y)
+        if "rnn_post_norm" in p and p["rnn_post_norm"] is not None:
+            y, st = fnn.batch_norm(p["rnn_post_norm"], s["rnn_post_norm"], y,
+                                   train=train, eps=rf.eps)
+            new_s["rnn_post_norm"] = st
+        if rf.post_act:
+            y = self.act(y)
+        x = y + x_in
+
+        # --- positional embedding (block 0 only) ---
+        if "pe" in p:
+            x = x + p["pe"]["weight"]
+
+        # --- freq attention ---
+        x_in = x
+        y = x
+        if s is not None and "attn_pre_norm" in s:
+            y, st = fnn.batch_norm(None, s["attn_pre_norm"], y, train=train, eps=rf.eps)
+            new_s["attn_pre_norm"] = st
+        y = y.reshape(t * b, f, c)
+        y = fnn.attention(p["attn"], y, rf.num_heads)
+        y = y.reshape(t, b, f, c)
+        y = fnn.linear(p["attn_fc"], y)
+        if "attn_post_norm" in p and p["attn_post_norm"] is not None:
+            y, st = fnn.batch_norm(p["attn_post_norm"], s["attn_post_norm"], y,
+                                   train=train, eps=rf.eps)
+            new_s["attn_post_norm"] = st
+        if rf.post_act:
+            y = self.act(y)
+        x = y + x_in
+        return x, h_t, new_s
+
+    # -- training graph (wav -> wav) -------------------------------------------
+
+    @staticmethod
+    def complex_mask_mul(spec: Array, mask: Array) -> Array:
+        re = spec[..., 0] * mask[..., 0] - spec[..., 1] * mask[..., 1]
+        im = spec[..., 0] * mask[..., 1] + spec[..., 1] * mask[..., 0]
+        return jnp.stack([re, im], axis=-1)
+
+    def forward(
+        self, variables: Params, wav: Array, train: bool = False
+    ) -> tp.Tuple[Array, Array, Params]:
+        """wav [B, T] -> (wav_hat [B, T], spec_hat compressed [B, F, T', 2],
+        new_stats). Reference: models/.../model.py:728-735."""
+        params, stats = variables["params"], variables["stats"]
+        spec = compressed_stft(
+            wav, self.stft_cfg, self.input_compression, discard_last_freq_bin=True)
+        mask, _, new_stats = self.model_forward(params, stats, spec, train=train)
+        spec_hat = self.complex_mask_mul(spec, mask)
+        wav_hat = compressed_istft(
+            spec_hat, self.stft_cfg, self.input_compression,
+            discard_last_freq_bin=True, length=wav.shape[-1])
+        return wav_hat, spec_hat, new_stats
+
+    def stft(self, wav: Array) -> Array:
+        """Compressed STFT of a clean target (for losses)."""
+        return compressed_stft(
+            wav, self.stft_cfg, self.input_compression, discard_last_freq_bin=True)
+
+    # -- streaming --------------------------------------------------------------
+
+    def init_streaming_carry(self, batch: int, dtype=jnp.float32) -> Params:
+        """Carry pytree replacing the reference ONNX cache list
+        (reference: scripts/export_onnx.py:38-58)."""
+        return {
+            "stft": init_stft_carry(self.stft_cfg, batch, dtype),
+            "istft": init_istft_carry(self.stft_cfg, batch, dtype),
+            "h": [
+                jnp.zeros((batch * self.rf.freq, self.rf.channels), dtype)
+                for _ in range(self.rf.num_blocks)
+            ],
+        }
+
+    def streaming_step(
+        self, variables: Params, carry: Params, wav_hop: Array
+    ) -> tp.Tuple[Params, Array]:
+        """One hop: wav_hop [B, hop] -> (new_carry, wav_out [B, hop]).
+
+        Output is delayed n_fft - hop samples (same contract as the reference
+        streaming graph, docs/docs/onnx.md)."""
+        params, stats = variables["params"], variables["stats"]
+        spec, stft_c = stft_streaming_step(wav_hop, carry["stft"], self.stft_cfg)
+        spec = spec[:, :-1]  # drop last freq bin
+        spec = compress(spec[:, :, None, :], self.input_compression)  # [B,F,1,2]
+        mask, h_t, _ = self.model_forward(params, stats, spec, h0=carry["h"],
+                                          train=False)
+        spec_hat = self.complex_mask_mul(spec, mask)
+        spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
+        pad = jnp.zeros_like(spec_hat[:, :1])
+        spec_hat = jnp.concatenate([spec_hat, pad], axis=1)  # re-append last bin
+        wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"], self.stft_cfg)
+        return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
+
+    def stream(self, variables: Params, wav: Array) -> Array:
+        """Whole-utterance streaming via one lax.scan. wav [B, hop*T] -> [B, hop*T]."""
+        b, length = wav.shape
+        t = length // self.hop_size
+        hops = wav[:, : t * self.hop_size].reshape(b, t, self.hop_size).swapaxes(0, 1)
+
+        def step(carry, x):
+            carry, y = self.streaming_step(variables, carry, x)
+            return carry, y
+
+        _, outs = jax.lax.scan(step, self.init_streaming_carry(b, wav.dtype), hops)
+        return outs.swapaxes(0, 1).reshape(b, -1)
+
+    # -- deploy-time folding -----------------------------------------------------
+
+    def fold(self, variables: Params) -> Params:
+        """Strip weight-norm, merge BN into convs/FCs, fold pre-norms.
+
+        Returns folded {"params", "stats"} usable by the same apply fns.
+        Reference math: models/.../model.py:215-258 (block), :532-608 (convs).
+        """
+        params = jax.tree.map(lambda x: x, variables["params"])
+        stats = variables["stats"]
+
+        def plain(p: Params, name: str = "weight") -> Array:
+            return fnn.maybe_wn_weight(p, name)
+
+        def merge_conv_bn(conv: Params, bn_p: Params, bn_s: Params,
+                          eps: float = 1e-5) -> Params:
+            w = plain(conv)
+            std = jnp.sqrt(bn_s["var"] + eps)
+            g = bn_p["weight"] / std
+            return {
+                "weight": w * g[:, None, None],
+                "bias": bn_p["bias"] - bn_s["mean"] * g,
+            }
+
+        out: Params = {}
+        out["enc_pre"] = {"conv": merge_conv_bn(
+            params["enc_pre"]["conv"], params["enc_pre"]["bn"],
+            stats["enc_pre"]["bn"])}
+        out["encoder"] = [
+            {"conv": merge_conv_bn(p["conv"], p["bn"], s["bn"])}
+            for p, s in zip(params["encoder"], stats["encoder"])
+        ]
+        for name in ("rf_pre", "rf_post"):
+            out[name] = {
+                "lin": dict(params[name]["lin"]),
+                "conv": merge_conv_bn(params[name]["conv"], params[name]["bn"],
+                                      stats[name]["bn"]),
+            }
+
+        eps = self.rf.eps
+        out["rf_blocks"] = []
+        for bp, bs in zip(params["rf_blocks"], stats["rf_blocks"]):
+            nb: Params = {}
+            rnn = {k: plain(bp["rnn"], k) if k.startswith("weight") else bp["rnn"][k]
+                   for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")}
+            qkv_w = plain(bp["attn"]["qkv"])
+            qkv = {"weight": qkv_w}
+            if "bias" in bp["attn"]["qkv"]:
+                qkv["bias"] = bp["attn"]["qkv"]["bias"]
+
+            # fold post-norm BN into the fc that precedes it
+            def fold_fc(fc: Params, bn_p: Params, bn_s: Params) -> Params:
+                std = jnp.sqrt(bn_s["var"] + eps)
+                g = bn_p["weight"] / std
+                return {
+                    "weight": fc["weight"] * g[:, None],
+                    "bias": bn_p["bias"] - bn_s["mean"] * g,
+                }
+
+            nb["rnn_fc"] = fold_fc(bp["rnn_fc"], bp["rnn_post_norm"],
+                                   bs["rnn_post_norm"])
+            nb["attn_fc"] = fold_fc(bp["attn_fc"], bp["attn_post_norm"],
+                                    bs["attn_post_norm"])
+            nb["rnn_post_norm"] = None
+            nb["attn_post_norm"] = None
+
+            # fold pre-norms (affine=False) into qkv / GRU input weights
+            if self.rf.pre_norm:
+                st = bs["attn_pre_norm"]
+                std = jnp.sqrt(st["var"] + eps)
+                beta = -st["mean"] / std
+                qkv_bias = qkv.get("bias", jnp.zeros(qkv_w.shape[0]))
+                qkv = {"weight": qkv_w / std,
+                       "bias": qkv_bias + qkv_w @ beta}
+                st = bs["rnn_pre_norm"]
+                std = jnp.sqrt(st["var"] + eps)
+                beta = -st["mean"] / std
+                rnn = dict(rnn)
+                rnn["bias_ih"] = rnn["bias_ih"] + rnn["weight_ih"] @ beta
+                rnn["weight_ih"] = rnn["weight_ih"] / std
+            nb["rnn"] = rnn
+            nb["attn"] = {"qkv": qkv}
+            if "pe" in bp:
+                nb["pe"] = bp["pe"]
+            out["rf_blocks"].append(nb)
+
+        out["decoder"] = [
+            {"conv1": merge_conv_bn(p["conv1"], p["bn1"], s["bn1"]),
+             "conv2": merge_conv_bn(p["conv2"], p["bn2"], s["bn2"])}
+            for p, s in zip(params["decoder"], stats["decoder"])
+        ]
+
+        convt = dict(params["dec_post"]["convt"])
+        w = convt["weight"]
+        if self.normalize_final_conv:
+            w = w / jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(w))), 1e-12)
+        convt_folded = {"weight": w * convt["scale"], "bias": convt["bias"]}
+        out["dec_post"] = {
+            "conv": merge_conv_bn(params["dec_post"]["conv"],
+                                  params["dec_post"]["bn"],
+                                  stats["dec_post"]["bn"]),
+            "convt": convt_folded,
+        }
+
+        # folded stats tree mirrors structure with empty dicts (no BN anywhere)
+        folded_stats = {
+            "enc_pre": {}, "encoder": [{} for _ in out["encoder"]],
+            "rf_pre": {}, "rf_post": {},
+            "rf_blocks": [{} for _ in out["rf_blocks"]],
+            "decoder": [{} for _ in out["decoder"]], "dec_post": {},
+        }
+        return {"params": out, "stats": folded_stats}
+
+    # -- misc ---------------------------------------------------------------------
+
+    def fixed_param_paths(self) -> tp.List[tp.Tuple[str, ...]]:
+        """Param-tree paths that are buffers in the reference (not trained)."""
+        fixed: tp.List[tp.Tuple[str, ...]] = []
+        if self.pre_post_init is not None and self.pre_post_init.endswith("_fixed"):
+            fixed.append(("rf_pre", "lin", "weight"))
+            fixed.append(("rf_post", "lin", "weight"))
+        if self.rf.positional_embedding == "fixed":
+            fixed.append(("rf_blocks", "0", "pe", "weight"))
+        return fixed
+
+    def num_params(self, params: Params) -> int:
+        """Trainable parameter count (fixed buffers excluded)."""
+        fixed = set(self.fixed_param_paths())
+
+        def path_key(path) -> tp.Tuple[str, ...]:
+            out = []
+            for p in path:
+                if hasattr(p, "key"):
+                    out.append(str(p.key))
+                elif hasattr(p, "idx"):
+                    out.append(str(p.idx))
+            return tuple(out)
+
+        n = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            if leaf is None or path_key(path) in fixed:
+                continue
+            n += leaf.size
+        return n
