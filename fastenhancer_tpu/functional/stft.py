@@ -241,6 +241,8 @@ def stft(x: Array, cfg: STFTConfig) -> Array:
     """
     if x.ndim == 3:
         x = x.squeeze(1)
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # DSP front-end always runs f32 (bf16-safe)
     if cfg.center:
         x = _center_pad(x, cfg.n_fft // 2, cfg.pad_mode)
     frames = frame_signal(x, cfg.n_fft, cfg.hop_size)  # [B, T, n_fft]
@@ -259,7 +261,7 @@ def stft(x: Array, cfg: STFTConfig) -> Array:
     out = jnp.swapaxes(out, 1, 2)  # [B, n_freq, T, 2]
     if cfg.hop_size % 2 == 1:  # torch front-end clips last frame for odd hop
         out = out[:, :, :-1]
-    return out.astype(x.dtype)
+    return out.astype(in_dtype)
 
 
 def istft(spec: Array, cfg: STFTConfig, length: tp.Optional[int] = None) -> Array:
@@ -269,6 +271,8 @@ def istft(spec: Array, cfg: STFTConfig, length: tp.Optional[int] = None) -> Arra
     n_fft//2 on each side. Reference: functional/audio_modules.py:92-121.
     """
     assert cfg.center, "istft currently requires center=True (parity w/ reference)"
+    in_dtype = spec.dtype
+    spec = spec.astype(jnp.float32)  # DSP front-end always runs f32
     re = spec[..., 0].swapaxes(1, 2)  # [B, T, n_freq]
     im = spec[..., 1].swapaxes(1, 2)
     if cfg.method == "matmul":
@@ -298,7 +302,7 @@ def istft(spec: Array, cfg: STFTConfig, length: tp.Optional[int] = None) -> Arra
     y = y[:, half: out_len - half]
     if length is not None:
         y = y[:, :length]
-    return y
+    return y.astype(in_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -380,8 +384,9 @@ def stft_streaming_step(
     of the signal with the carry contents prepended.
     Reference: functional/audio_modules.py:243-257.
     """
-    frame = jnp.concatenate([carry, x], axis=1)  # [B, n_fft]
-    new_carry = frame[:, -cfg.cache_len:]
+    in_dtype = x.dtype
+    frame = jnp.concatenate([carry, x], axis=1).astype(jnp.float32)  # [B, n_fft]
+    new_carry = frame[:, -cfg.cache_len:].astype(in_dtype)
     if cfg.method == "matmul":
         spec = jnp.matmul(frame, jnp.asarray(cfg.dft_matrix), precision=_HIGHEST)
         re, im = jnp.split(spec, 2, axis=-1)
@@ -391,7 +396,7 @@ def stft_streaming_step(
         if cfg.normalized:
             s = 1.0 / math.sqrt(cfg.n_fft)
             re, im = re * s, im * s
-    return jnp.stack([re, im], axis=-1), new_carry  # [B, n_freq, 2]
+    return jnp.stack([re, im], axis=-1).astype(in_dtype), new_carry  # [B, n_freq, 2]
 
 
 def istft_streaming_step(
@@ -404,6 +409,8 @@ def istft_streaming_step(
     the input, exactly like the reference streaming iSTFT
     (reference: functional/audio_modules.py:259-303, docs/docs/onnx.md).
     """
+    in_dtype = spec.dtype
+    spec = spec.astype(jnp.float32)
     re = spec[..., 0]
     im = spec[..., 1]
     if cfg.method == "matmul":
@@ -418,10 +425,10 @@ def istft_streaming_step(
         if cfg.normalized:
             frame = frame * math.sqrt(cfg.n_fft)
     frame = frame * jnp.asarray(cfg.synthesis_window)
-    frame = frame.at[:, : cfg.cache_len].add(carry)
+    frame = frame.at[:, : cfg.cache_len].add(carry.astype(jnp.float32))
     out = frame[:, : cfg.hop_size]
     new_carry = frame[:, -cfg.cache_len:]
-    return out, new_carry
+    return out.astype(in_dtype), new_carry.astype(in_dtype)
 
 
 def stream_stft(x: Array, cfg: STFTConfig) -> Array:

@@ -47,6 +47,64 @@ Array = jax.Array
 Params = tp.Dict[str, tp.Any]
 
 
+def _wn_suffix(torch_weight_name: str, sub: tp.Optional[str]) -> str:
+    """weight-norm {g,v} leaves -> torch parametrization key names."""
+    if sub is None:
+        return torch_weight_name
+    which = "original0" if sub == "g" else "original1"
+    return f"parametrizations.{torch_weight_name}.{which}"
+
+
+def _torch_name_default(path: tp.Tuple[str, ...]) -> tp.Optional[str]:
+    """Param-tree path -> reference torch parameter name (fastenhancer family).
+
+    Reference module layout: enc_pre.{0 conv,1 bn}, encoder.{i}.{0,1},
+    rf_pre.{0 lin,1 conv,2 bn}, rf_block.{i}.{rnn,rnn_fc,rnn_post_norm,attn.qkv,
+    attn_fc,attn_post_norm,pe}, decoder.{i}.{0,1,3,4}, dec_post.{0,1,3}.
+    """
+    head, rest = path[0], path[1:]
+    if head in ("enc_pre", "dec_post") or head == "encoder":
+        if head == "encoder":
+            prefix = f"encoder.{rest[0]}"
+            rest = rest[1:]
+        else:
+            prefix = head
+        mod, leaf = rest[0], rest[1]
+        if mod == "conv":
+            return f"{prefix}.0.{leaf}"
+        if mod == "bn":
+            return f"{prefix}.1.{leaf}"
+        if mod == "convt":  # dec_post only
+            return f"{prefix}.3.{leaf}"
+    if head in ("rf_pre", "rf_post"):
+        mod, leaf = rest[0], rest[1]
+        idx = {"lin": 0, "conv": 1, "bn": 2}[mod]
+        return f"{head}.{idx}.{leaf}"
+    if head == "rf_blocks":
+        i, mod = rest[0], rest[1]
+        prefix = f"rf_block.{i}"
+        if mod == "rnn":
+            leaf = rest[2]
+            sub = rest[3] if len(rest) > 3 else None
+            if leaf.startswith("weight"):
+                return f"{prefix}.rnn.{_wn_suffix(leaf + '_l0', sub)}"
+            return f"{prefix}.rnn.{leaf}_l0"
+        if mod == "attn":
+            leaf = rest[3]  # ("attn","qkv",leaf[,sub])
+            sub = rest[4] if len(rest) > 4 else None
+            if leaf == "weight":
+                return f"{prefix}.attn.qkv.{_wn_suffix('weight', sub)}"
+            return f"{prefix}.attn.qkv.{leaf}"
+        if mod == "pe":
+            return f"{prefix}.pe"
+        return f"{prefix}.{mod}.{rest[2]}"
+    if head == "decoder":
+        i, mod, leaf = rest[0], rest[1], rest[2]
+        idx = {"conv1": 0, "bn1": 1, "conv2": 3, "bn2": 4}[mod]
+        return f"decoder.{i}.{idx}.{leaf}"
+    raise KeyError(f"unmapped param path: {path}")
+
+
 # ---------------------------------------------------------------------------
 # Frequency-resampling filterbank init (reference: models/.../model.py:308-380)
 # ---------------------------------------------------------------------------
@@ -668,6 +726,16 @@ class Model:
         if self.rf.positional_embedding == "fixed":
             fixed.append(("rf_blocks", "0", "pe", "weight"))
         return fixed
+
+    def torch_name(self, path: tp.Tuple[str, ...]) -> tp.Optional[str]:
+        """Map a param-tree path to the reference's torch parameter name so
+        that `train.optimizer_groups` regexes from the reference configs
+        apply unchanged (reference names: models/.../default/model.py:383-521;
+        regex usage: configs/fastenhancer/t.yaml:88-109).
+
+        Returns None for buffers (fixed pe / fixed filterbanks are excluded
+        separately via fixed_param_paths)."""
+        return _torch_name_default(path)
 
     def num_params(self, params: Params) -> int:
         """Trainable parameter count (fixed buffers excluded)."""

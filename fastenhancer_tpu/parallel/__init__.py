@@ -1,0 +1,69 @@
+"""Device-mesh / sharding utilities — the TPU-native distributed runtime.
+
+The reference's distributed layer is NCCL data-parallelism: DDP grad
+allreduce, SyncBatchNorm, and scalar loss reductions (reference: train.py:
+65-71, wrappers/ns.py:79-82, losses.py:223). On TPU all of that collapses
+into *sharding annotations*: the train step is jitted over a 1-D "dp" mesh
+with the batch axis sharded and the model state replicated; XLA inserts the
+grad psum (≡ DDP allreduce) and the global batch-stat means (≡ SyncBN) over
+ICI automatically.
+
+Multi-host (DCN) extension would add `jax.distributed.initialize()` and a 2-D
+mesh; out of scope for parity with the single-node reference.
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_AXIS = "dp"
+
+
+def make_mesh(
+    n_devices: tp.Optional[int] = None,
+    devices: tp.Optional[tp.Sequence[jax.Device]] = None,
+) -> Mesh:
+    """1-D data-parallel mesh over the first n_devices devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the dp mesh axis."""
+    return NamedSharding(mesh, P(BATCH_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: tp.Any, mesh: Mesh) -> tp.Any:
+    """device_put every array in the batch pytree with its batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: tp.Any, mesh: Mesh) -> tp.Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_to(batch: tp.Any, multiple: int) -> tp.Tuple[tp.Any, int]:
+    """Pad the leading axis of every array up to a multiple (for even
+    sharding); returns (padded_batch, original_batch_size)."""
+    sizes = {x.shape[0] for x in jax.tree.leaves(batch)}
+    assert len(sizes) == 1, f"inconsistent batch sizes: {sizes}"
+    b = sizes.pop()
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch, b
+    def _pad(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths)
+    return jax.tree.map(_pad, batch), b

@@ -1,0 +1,116 @@
+"""Train-step tests: loss decreases, sharded == single-device, bf16 runs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastenhancer_tpu.losses import Losses
+from fastenhancer_tpu.models.fastenhancer.default import Model
+from fastenhancer_tpu.optim import get_optimizer, get_scheduler
+from fastenhancer_tpu.parallel import make_mesh, shard_batch, replicate
+from fastenhancer_tpu.train import make_train_step, make_valid_step
+
+HP_TRAIN = {
+    "optimizer": "AdamP",
+    "optimizer_kwargs": {"lr": 2e-3, "betas": [0.9, 0.999],
+                         "projection": "auto"},
+    "scheduler": "CosineAnnealingWarmup",
+    "scheduler_kwargs": {"warmup_iterations": 3, "warn": False},
+    "max_epochs": 10,
+    "losses": {"si_snr": {"weight": 1.0}, "complex_mse": {"weight": 10.0}},
+}
+
+
+def _tiny_model():
+    return Model(channels=8, kernel_size=[4, 3], stride=4,
+                 rnnformer_kwargs=dict(num_blocks=1, channels=8, freq=8,
+                                       num_heads=2),
+                 n_fft=64, hop_size=32, win_size=64)
+
+
+def _batch(rng, b=8, t=640):
+    clean = rng.standard_normal((b, t)).astype(np.float32) * 0.1
+    noise = rng.standard_normal((b, t)).astype(np.float32) * 0.05
+    return {"clean": clean, "noisy": clean + noise}
+
+
+def test_train_step_loss_decreases():
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(0))
+    losses = Losses(HP_TRAIN["losses"])
+    opt = get_optimizer(model, variables["params"], HP_TRAIN)
+    sched = get_scheduler(opt, HP_TRAIN)
+    step_fn = make_train_step(model, losses, opt)
+
+    state = {"variables": variables, "opt_state": opt.init(variables["params"])}
+    m0 = np.asarray(variables["stats"]["enc_pre"]["bn"]["mean"])  # pre-donation
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    first = None
+    for i in range(12):
+        lrs = jnp.asarray(sched.lrs, jnp.float32)
+        state, metrics = step_fn(state, batch, lrs)
+        sched.warmup_step()
+        if first is None:
+            first = float(metrics["loss/total"])
+    last = float(metrics["loss/total"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+    # BN stats were updated
+    m1 = state["variables"]["stats"]["enc_pre"]["bn"]["mean"]
+    assert not np.allclose(m0, np.asarray(m1))
+
+
+def test_train_step_sharded_matches_single_device():
+    """The dp-sharded step must produce identical numerics to 1 device
+    (global-batch BN means + mean losses are device-count invariant)."""
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(1))
+    losses = Losses({"si_snr": {"weight": 1.0}})
+    opt = get_optimizer(model, variables["params"], HP_TRAIN)
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, b=8)
+    lrs = jnp.asarray([2e-3] * opt.n_groups)
+
+    def run(mesh):
+        step_fn = make_train_step(model, losses, opt, donate=False)
+        state = {"variables": replicate(variables, mesh),
+                 "opt_state": replicate(opt.init(variables["params"]), mesh)}
+        b = shard_batch(batch, mesh)
+        state, metrics = step_fn(state, b, lrs)
+        state, metrics = step_fn(state, shard_batch(batch, mesh), lrs)
+        return state, metrics
+
+    mesh8 = make_mesh(8)
+    mesh1 = make_mesh(1)
+    s8, m8 = run(mesh8)
+    s1, m1 = run(mesh1)
+    np.testing.assert_allclose(float(m8["loss/total"]), float(m1["loss/total"]),
+                               rtol=2e-4)
+    w8 = np.asarray(s8["variables"]["params"]["enc_pre"]["conv"]["weight"])
+    w1 = np.asarray(s1["variables"]["params"]["enc_pre"]["conv"]["weight"])
+    np.testing.assert_allclose(w8, w1, rtol=1e-4, atol=1e-6)
+
+
+def test_train_step_bf16_compute():
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(2))
+    losses = Losses({"si_snr": {"weight": 1.0}})
+    opt = get_optimizer(model, variables["params"], HP_TRAIN)
+    step_fn = make_train_step(model, losses, opt, compute_dtype=jnp.bfloat16)
+    state = {"variables": variables, "opt_state": opt.init(variables["params"])}
+    batch = _batch(np.random.default_rng(2))
+    lrs = jnp.asarray([2e-3] * opt.n_groups)
+    state, metrics = step_fn(state, batch, lrs)
+    assert np.isfinite(float(metrics["loss/total"]))
+    # master params stay f32
+    leaves = jax.tree.leaves(state["variables"]["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_valid_step():
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(3))
+    losses = Losses(HP_TRAIN["losses"])
+    vstep = make_valid_step(model, losses)
+    out = vstep(variables, _batch(np.random.default_rng(3), b=4))
+    assert np.isfinite(float(out["loss/total"]))
