@@ -1,0 +1,90 @@
+"""North-star benchmark: FastEnhancer_B batched streaming inference.
+
+Packs N concurrent 16 kHz streams and runs the frame-by-frame streaming
+graph (one jax.lax.scan whose carry replaces the reference's ONNX caches)
+on one chip. Reports the per-stream real-time factor:
+
+    RTF_per_stream = wall_time / (audio_duration * n_streams)
+
+i.e. compute-seconds consumed per stream-second of audio (lower is better;
+1/RTF = how many concurrent real-time streams one chip sustains).
+Baseline target (BASELINE.json): <= 0.002 at 256 streams on one v5e.
+`vs_baseline` = value / 0.002 (< 1.0 beats the target).
+
+Timing note: on the axon-tunneled TPU, `block_until_ready` returns before
+the computation actually finishes, so the jitted function reduces the output
+to a scalar that is fetched to host — an honest full-pipeline sync without
+transferring the 160 MB waveform.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from __graft_entry__ import FLAGSHIP_KWARGS
+    from fastenhancer_tpu.models.fastenhancer.default import Model
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    streams = int(os.environ.get("BENCH_STREAMS", 256 if on_tpu else 8))
+    seconds = float(os.environ.get("BENCH_SECONDS", 10.0 if on_tpu else 1.0))
+    reps = int(os.environ.get("BENCH_REPS", 5 if on_tpu else 2))
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_DTYPE", "bf16")]
+
+    sr = 16_000
+    model = Model(**FLAGSHIP_KWARGS)
+    variables = model.init(jax.random.PRNGKey(0))
+    variables = model.fold(variables)  # deploy-time reparam removal
+    if dtype != jnp.float32:
+        variables = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+            variables, is_leaf=lambda x: x is None)
+
+    hop = model.hop_size
+    n_frames = int(seconds * sr) // hop
+    n_samples = n_frames * hop
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((streams, n_samples)).astype(np.float32) * 0.05
+    wav = jnp.asarray(wav, dtype)
+
+    @jax.jit
+    def bench_fn(v, w):
+        out = model.stream(v, w)
+        return jnp.mean(jnp.abs(out.astype(jnp.float32)))
+
+    # compile + warmup (host fetch forces real execution)
+    _ = float(bench_fn(variables, wav))
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(bench_fn(variables, wav))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    audio_sec = n_samples / sr
+    rtf = wall / (audio_sec * streams)
+
+    print(json.dumps({
+        "metric": f"FastEnhancer_B per-stream streaming RTF "
+                  f"({streams} concurrent 16kHz streams, {platform}, "
+                  f"{jnp.dtype(dtype).name})",
+        "value": round(rtf, 7),
+        "unit": "RTF wall/(audio*streams), lower=better",
+        "vs_baseline": round(rtf / 0.002, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
