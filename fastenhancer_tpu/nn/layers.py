@@ -160,12 +160,18 @@ def batch_norm(
     params: {"weight","bias"} or None (affine=False).
     stats:  {"mean","var"} running statistics (torch: unbiased var stored).
     Returns (y, new_stats); new_stats == stats when train=False.
+
+    Statistics and normalization always run in f32 regardless of the
+    activation dtype (torch autocast keeps BN in fp32); the output is cast
+    back to x.dtype.
     """
     c = x.shape[-1]
+    in_dtype = x.dtype
+    xf = x.astype(jnp.float32)
     if train:
         red = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=red)
-        var = jnp.mean(jnp.square(x), axis=red) - jnp.square(mean)  # biased
+        mean = jnp.mean(xf, axis=red)
+        var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)  # biased
         n = x.size // c
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
@@ -175,11 +181,11 @@ def batch_norm(
     else:
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
-    inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * inv
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    y = (xf - mean) * inv
     if params is not None:
         y = y * params["weight"] + params["bias"]
-    return y, new_stats
+    return y.astype(in_dtype), new_stats
 
 
 def init_batch_norm(c: int, affine: bool = True) -> tp.Tuple[tp.Optional[Params], Params]:

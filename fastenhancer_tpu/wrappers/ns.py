@@ -1,0 +1,260 @@
+"""Noise-suppression training wrapper — orchestration around the jitted step.
+
+Rebuild of the reference ModelWrapper (reference: wrappers/ns.py:35-346) on
+the TPU runtime: one host process drives all local devices through a single
+donated pjit train step (grad psum + global-batch BN implicit; no DDP, no
+GradScaler — bf16 compute with f32 master state replaces fp16+scaler, a
+documented deviation for TPU).
+
+Public surface (same as the reference): train_epoch / valid_epoch /
+infer_epoch / calculate_metrics / save / load / get_lr.
+"""
+from __future__ import annotations
+
+import math
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_dataset_dataloader
+from ..losses import Losses
+from ..metrics import Metrics, sisdr
+from ..models import get_model
+from ..optim import get_optimizer, get_scheduler
+from ..parallel import make_mesh, shard_batch, replicate, pad_batch_to
+from ..train import make_train_step, make_valid_step, make_infer_fn
+from ..train.checkpoint import save_checkpoint, latest_checkpoint, load_checkpoint
+from ..utils.terminal import verbose, clear_current_line
+from ..functional import stft as _stft_fn, STFTConfig
+
+
+class ModelWrapper:
+    def __init__(self, hps, train: bool = False, rank: int = 0, device=None):
+        del rank, device  # single-process SPMD
+        self.base_dir: str = hps.base_dir
+        self.hps = hps
+        self.model = get_model(hps.model, **hps.model_kwargs.to_dict())
+        self.train_mode = train
+        self.epoch = 0
+        self.sr: int = hps.data.sampling_rate
+        self.hop_size: int = hps.model_kwargs.hop_size
+        self.keys: tp.List[str] = []
+        self.infer_keys: tp.List[str] = []
+        self.set_keys()
+
+        seed = getattr(hps.train, "seed", 0) if "train" in hps else 0
+        self.variables = self.model.init(jax.random.PRNGKey(seed))
+        self.mesh = make_mesh()
+        self.n_devices = self.mesh.devices.size
+
+        self.infer_fn = make_infer_fn(self.model)
+        self.state: tp.Dict[str, tp.Any] = {"variables": self.variables}
+        self.metrics: tp.Optional[Metrics] = None
+        self.scheduler = None
+
+        if train:
+            hp = hps.train
+            self.test = getattr(hp, "test", False)
+            if self.test:
+                hp.max_epochs = 1
+            self.print_interval: int = getattr(hp, "print_interval", 1)
+            self.plot_param_and_grad = getattr(hp, "plot_param_and_grad", False)
+            # fp16:True in reference configs -> bf16 on TPU (no GradScaler)
+            use_mixed = getattr(hp, "fp16", False) or getattr(hp, "bf16", False)
+            self.compute_dtype = jnp.bfloat16 if use_mixed else None
+
+            if "consistency" in hp.losses:
+                hp.losses.consistency["n_fft"] = hps.model_kwargs.n_fft
+                hp.losses.consistency["hop_size"] = hps.model_kwargs.hop_size
+                hp.losses.consistency["win_size"] = getattr(
+                    hps.model_kwargs, "win_size", None)
+                hp.losses.consistency["win_type"] = getattr(
+                    hps.model_kwargs, "window", None)
+            self.loss = Losses(hp.losses.to_dict())
+
+            self.optim = get_optimizer(self.model, self.variables["params"], hp)
+            self.scheduler = get_scheduler(self.optim, hp)
+            self.train_step = make_train_step(
+                self.model, self.loss, self.optim,
+                clip_grad=getattr(hp, "clip_grad", None),
+                clip_grad_kwargs=getattr(hp, "clip_grad_kwargs", None),
+                compute_dtype=self.compute_dtype)
+            self.valid_step = make_valid_step(self.model, self.loss,
+                                              self.compute_dtype)
+            self.state = {
+                "variables": replicate(self.variables, self.mesh),
+                "opt_state": replicate(self.optim.init(self.variables["params"]),
+                                       self.mesh),
+            }
+
+            if "pesq" in hps:
+                self.pesq_interval: int = hps.pesq.interval
+                _, self.pesq_loader = get_dataset_dataloader(
+                    hps, "pesq", ["clean", "noisy", "wav_len"],
+                    n_devices=self.n_devices)
+                self.metrics = Metrics(
+                    num_workers=getattr(hps.pesq, "num_workers_executor", 8),
+                    sr=self.sr,
+                    **hps.pesq.metrics_to_calculate.to_dict())
+            else:
+                self.pesq_interval = hp.max_epochs + 1
+                self.pesq_loader = None
+
+    # -- keys ------------------------------------------------------------------
+
+    def set_keys(self) -> None:
+        self.keys = ["clean", "noisy"]
+        self.infer_keys = self.keys
+
+    def get_lr(self) -> float:
+        return self.scheduler.lrs[0] if self.scheduler else 0.0
+
+    def _lrs(self):
+        return jnp.asarray(self.scheduler.lrs, jnp.float32)
+
+    # -- batch prep ------------------------------------------------------------
+
+    def _device_batch(self, batch: tp.Mapping[str, np.ndarray],
+                      keys: tp.Sequence[str]):
+        """Trim to hop multiple, pad batch dim to device multiple, shard."""
+        arrs = {k: batch[k] for k in keys if k in batch}
+        t = min(a.shape[-1] for a in arrs.values())
+        t = (t // self.hop_size) * self.hop_size
+        arrs = {k: a[..., :t] for k, a in arrs.items()}
+        padded, real_b = pad_batch_to(arrs, self.n_devices)
+        return shard_batch(padded, self.mesh), real_b
+
+    # -- epochs ------------------------------------------------------------------
+
+    def train_epoch(self, dataloader) -> tp.Dict[str, tp.Any]:
+        self.loss.initialize()
+        max_items = len(dataloader)
+        pad = int(math.log10(max(max_items, 1))) + 1
+        summary: tp.Dict[str, tp.Any] = {"scalars": {}, "hists": {}}
+        t0 = time.perf_counter()
+
+        for idx, batch in enumerate(dataloader, start=1):
+            dev_batch, real_b = self._device_batch(batch, ("clean", "noisy"))
+            self.state, metrics = self.train_step(self.state, dev_batch,
+                                                  self._lrs())
+            per_loss = {k.split("/", 1)[1]: float(v)
+                        for k, v in metrics.items() if k.startswith("loss/")
+                        and k != "loss/total"}
+            self.loss.accumulate(per_loss, real_b)
+            if verbose() and idx % self.print_interval == 0:
+                dt = time.perf_counter() - t0
+                print(f"\rEpoch {self.epoch} - Train "
+                      f"{idx:{pad}d}/{max_items} ({idx / max_items * 100:>4.1f}%)"
+                      f"{self.loss.print()}"
+                      f"  [{int(dt)}/{int(dt / idx * max_items)} sec]",
+                      end="", flush=True)
+            self.scheduler.warmup_step()
+            if self.test and idx >= 10:
+                break
+        if verbose():
+            clear_current_line()
+        self.scheduler.step()
+        summary["scalars"] = self.loss.reduce()
+        return summary
+
+    def valid_epoch(self, dataloader, calculate_metrics: bool = False
+                    ) -> tp.Dict[str, tp.Any]:
+        self.loss.initialize()
+        if calculate_metrics and self.metrics is not None:
+            self.metrics.initialize()
+        for idx, batch in enumerate(dataloader, start=1):
+            dev_batch, real_b = self._device_batch(batch, ("clean", "noisy"))
+            out = self.valid_step(self.state["variables"], dev_batch)
+            per_loss = {k.split("/", 1)[1]: float(v)
+                        for k, v in out.items() if k != "loss/total"}
+            self.loss.accumulate(per_loss, real_b)
+            if self.test and idx >= 10:
+                break
+        summary = {"scalars": self.loss.reduce()}
+        if calculate_metrics and self.metrics is not None and self.pesq_loader:
+            self.calculate_metrics(self.pesq_loader)
+            summary["scalars"].update(self.metrics.retrieve(self.epoch))
+        return summary
+
+    def calculate_metrics(self, dataloader) -> None:
+        """Enhance the eval set and submit PESQ/STOI jobs
+        (reference: wrappers/ns.py:223-244)."""
+        for idx, batch in enumerate(dataloader, start=1):
+            dev_batch, real_b = self._device_batch(batch, ("clean", "noisy"))
+            wav_hat = np.asarray(
+                self.infer_fn(self.state["variables"], dev_batch["noisy"]))
+            clean = np.asarray(dev_batch["clean"])
+            wav_len = batch.get("wav_len")
+            if wav_len is not None:
+                wav_len = np.minimum(np.asarray(wav_len),
+                                     wav_hat.shape[-1])
+            self.metrics.submit(clean[:real_b], wav_hat[:real_b],
+                                wav_len[:real_b] if wav_len is not None else None)
+            if self.test and idx >= 2:
+                break
+
+    def infer_epoch(self, dataloader) -> tp.Dict[str, tp.Any]:
+        """Enhance the showcase files -> audio + spectrogram summaries
+        (reference: wrappers/ns.py:246-286)."""
+        summary: tp.Dict[str, tp.Any] = {"audios": {}, "specs": {},
+                                         "scalars": {}}
+        cfg = STFTConfig(n_fft=1024, hop_size=256, win_size=1024)
+        sisdrs = []
+        for i, batch in enumerate(dataloader):
+            noisy = batch["noisy"]
+            clean = batch["clean"]
+            t = (noisy.shape[-1] // self.hop_size) * self.hop_size
+            wav_hat = np.asarray(self.infer_fn(
+                self.state["variables"], jnp.asarray(noisy[..., :t])))
+            name = batch.get("filename", [f"{i:02d}"])[0]
+            if self.epoch <= getattr(self.hps.infer, "interval", 20):
+                summary["audios"][f"noisy/{name}"] = noisy[0]
+                summary["audios"][f"clean/{name}"] = clean[0]
+            summary["audios"][f"enhanced/{name}"] = wav_hat[0]
+            spec = np.asarray(_stft_fn(jnp.asarray(wav_hat[:1]), cfg))
+            mag = np.sqrt((spec ** 2).sum(-1))[0]
+            summary["specs"][f"enhanced/{name}"] = np.log10(mag + 1e-5)
+            sisdrs.append(sisdr(wav_hat[0, :t], clean[0, :t]))
+        summary["scalars"]["infer/sisdr"] = float(np.mean(sisdrs))
+        return summary
+
+    # -- checkpointing -------------------------------------------------------------
+
+    def save(self, epoch: int) -> str:
+        return save_checkpoint(
+            self.base_dir, epoch, self.state,
+            scheduler_state=self.scheduler.state_dict() if self.scheduler else None,
+            metrics=self.metrics.state_dict() if self.metrics else None)
+
+    def load(self, epoch: tp.Optional[int] = None) -> bool:
+        """Resume from {base_dir}/{epoch:05d}.ckpt or the latest one."""
+        if epoch is not None:
+            import os
+
+            path = f"{self.base_dir}/{epoch:05d}.ckpt"
+            if not os.path.exists(path):
+                raise FileNotFoundError(path)
+        else:
+            path = latest_checkpoint(self.base_dir)
+            if path is None:
+                return False
+        ckpt = load_checkpoint(path)
+        as_arr = lambda x: None if x is None else jnp.asarray(x)  # noqa: E731
+        variables = jax.tree.map(as_arr, ckpt["variables"],
+                                 is_leaf=lambda x: x is None)
+        self.state["variables"] = replicate(variables, self.mesh)
+        if self.train_mode and ckpt.get("opt_state") is not None:
+            opt_state = jax.tree.map(as_arr, ckpt["opt_state"],
+                                     is_leaf=lambda x: x is None)
+            self.state["opt_state"] = replicate(opt_state, self.mesh)
+        if self.scheduler is not None and ckpt.get("scheduler") is not None:
+            self.scheduler.load_state_dict(ckpt["scheduler"])
+        if self.metrics is not None:
+            self.metrics.load_state_dict(ckpt.get("metrics"))
+        self.epoch = ckpt["epoch"]
+        if verbose():
+            print(f"loaded checkpoint {path} (epoch {self.epoch})")
+        return True

@@ -1,0 +1,60 @@
+"""On-the-fly wrapper: SNR mixing (+ optional dynamic LPF) inside the step.
+
+Reference: wrappers/ns_on_the_fly.py:78-152. The dataset yields (clean,
+noise); mixing happens on device as part of the same XLA program as the
+forward pass. Per-batch SNR/dBFS draws and per-item LPF kernels are sampled
+on host each step and passed in as traced arrays, so nothing recompiles.
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ns import ModelWrapper as BaseModelWrapper
+from ..data.ns_on_the_fly import SNRMixer, DynamicBatchLPF
+
+
+class ModelWrapper(BaseModelWrapper):
+    def __init__(self, hps, train: bool = False, rank: int = 0, device=None):
+        super().__init__(hps, train, rank, device)
+        self.snr_mixer = SNRMixer(sr=self.sr, **hps.data.snr_mixer.to_dict())
+        if "dynamic_lpf" in hps.data:
+            self.dynamic_lpf = DynamicBatchLPF(sampling_rate=self.sr,
+                                               **hps.data.dynamic_lpf.to_dict())
+        else:
+            self.dynamic_lpf = DynamicBatchLPF(sampling_rate=self.sr, p_lpf=0.0)
+        self._lpf_rng = np.random.default_rng(
+            getattr(hps.train, "seed", 0) if "train" in hps else 0)
+
+    def set_keys(self) -> None:
+        self.keys = ["clean", "noise", "noisy"]
+        self.infer_keys = self.keys
+
+    def _device_batch(self, batch: tp.Mapping[str, np.ndarray],
+                      keys: tp.Sequence[str]):
+        """(clean, noise) -> mixed (clean, noisy) on device; other modes
+        (valid/pesq/infer use paired data) fall through to the base."""
+        if "noise" not in batch:
+            return super()._device_batch(batch, keys)
+        arrs = {k: batch[k] for k in ("clean", "noise")}
+        t = min(a.shape[-1] for a in arrs.values())
+        t = (t // self.hop_size) * self.hop_size
+        from ..parallel import pad_batch_to, shard_batch
+
+        arrs = {k: a[..., :t] for k, a in arrs.items()}
+        padded, real_b = pad_batch_to(arrs, self.n_devices)
+        dev = shard_batch(padded, self.mesh)
+
+        snr, rms_target = self.snr_mixer.sample_params()
+        rir = dev.get("rir")
+        clean, _, noisy = self.snr_mixer(
+            dev["clean"], dev["noise"],
+            jnp.float32(snr), jnp.float32(rms_target), rir)
+        if self.dynamic_lpf.p_lpf > 0:
+            kernels = self.dynamic_lpf.sample_kernels(clean.shape[0],
+                                                      self._lpf_rng)
+            clean = self.dynamic_lpf(clean, kernels)
+            noisy = self.dynamic_lpf(noisy, kernels)
+        return {"clean": clean, "noisy": noisy}, real_b

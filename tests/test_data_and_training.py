@@ -1,0 +1,146 @@
+"""Data layer + end-to-end smoke training over a synthetic VBD-style corpus."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from fastenhancer_tpu.data.audio_io import read_wav, write_wav, wav_duration
+from fastenhancer_tpu.data.loader import DataLoader, collate
+from fastenhancer_tpu.data.noise_suppression import NSDataset
+from fastenhancer_tpu.utils.hparams import HParams
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """8 paired clean/noisy wavs of varying lengths."""
+    root = tmp_path_factory.mktemp("vbd")
+    clean_dir = root / "clean"
+    noisy_dir = root / "noisy"
+    clean_dir.mkdir()
+    noisy_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        n = SR + i * 2048
+        t = np.arange(n) / SR
+        clean = (0.1 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        noise = rng.standard_normal(n).astype(np.float32) * 0.02
+        write_wav(str(clean_dir / f"f{i:02d}.wav"), clean, SR)
+        write_wav(str(noisy_dir / f"f{i:02d}.wav"), clean + noise, SR)
+    return root
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (np.sin(np.linspace(0, 100, SR)) * 0.5).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, x, SR)
+    y, sr = read_wav(path)
+    assert sr == SR
+    np.testing.assert_allclose(x, y, atol=1 / 32768)
+    assert abs(wav_duration(path) - 1.0) < 1e-6
+
+
+def _hp(corpus, segment_size):
+    return HParams(**{
+        "sampling_rate": SR,
+        "train": {"clean_dir": str(corpus / "clean"),
+                  "noisy_dir": str(corpus / "noisy"),
+                  "segment_size": segment_size},
+        "pesq": {"clean_dir": str(corpus / "clean"),
+                 "noisy_dir": str(corpus / "noisy"),
+                 "segment_size": None},
+    })
+
+
+def test_nsdataset_segments(corpus):
+    ds = NSDataset(_hp(corpus, 8192), mode="train")
+    item = ds[0]
+    assert item["clean"].shape == (8192,)
+    assert item["noisy"].shape == (8192,)
+    # deterministic resume contract: same seed -> same order, regardless of
+    # how many shuffles happened before
+    ds.shuffle(3)
+    order_a = list(ds.files)
+    ds.shuffle(5)
+    ds.shuffle(3)
+    assert list(ds.files) == order_a
+
+
+def test_nsdataset_length_sorted_batches(corpus):
+    ds = NSDataset(_hp(corpus, None), mode="pesq", batch_size=2)
+    durs = [wav_duration(os.path.join(ds.clean_dir, f + ".wav"))
+            for f in ds.files]
+    assert durs == sorted(durs)
+    ds.shuffle(0)
+    # block-shuffle keeps pairs of similar lengths together
+    blocks = [set(ds.files[i:i + 2]) for i in range(0, 8, 2)]
+    sorted_blocks = [set(ds.files_sorted[i:i + 2]) for i in range(0, 8, 2)]
+    assert all(b in sorted_blocks for b in blocks)
+
+
+def test_loader_collate_padding(corpus):
+    ds = NSDataset(_hp(corpus, None), mode="pesq", batch_size=4)
+    dl = DataLoader(ds, batch_size=4, num_workers=2, pad_multiple=4096)
+    batches = list(dl)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["clean"].shape == b["noisy"].shape
+        assert b["clean"].shape[-1] % 4096 == 0
+
+
+def test_collate_keys():
+    items = [{"clean": np.ones(5, np.float32), "wav_len": 5,
+              "filename": "a"},
+             {"clean": np.ones(3, np.float32), "wav_len": 3,
+              "filename": "b"}]
+    out = collate(items)
+    assert out["clean"].shape == (2, 5)
+    assert out["wav_len"].tolist() == [5, 3]
+    assert out["filename"] == ["a", "b"]
+
+
+def test_smoke_training_cli(corpus, tmp_path):
+    """10-step smoke train via the real CLI (train.test=True), then resume.
+    Mirrors the reference's documented smoke recipe (SURVEY §4)."""
+    cfg = yaml.safe_load(open("configs/fastenhancer/t.yaml"))
+    for mode in ("train", "valid", "pesq"):
+        cfg["data"][mode]["clean_dir"] = str(corpus / "clean")
+        cfg["data"][mode]["noisy_dir"] = str(corpus / "noisy")
+        cfg["data"][mode].pop("metadata", None)
+    cfg["data"]["infer"]["clean_dir"] = str(corpus / "clean")
+    cfg["data"]["infer"]["noisy_dir"] = str(corpus / "noisy")
+    cfg["data"]["infer"]["files"] = ["f00"]
+    cfg["data"]["train"]["segment_size"] = 4096
+    cfg["data"]["valid"]["segment_size"] = 4096
+    # tiny model for speed
+    cfg["model_kwargs"].update({"channels": 8, "kernel_size": [4, 3]})
+    cfg["model_kwargs"]["rnnformer_kwargs"].update(
+        {"num_blocks": 1, "channels": 8, "freq": 8, "num_heads": 2})
+    cfg["train"].update({"test": True, "batch_size": 2, "num_workers": 1})
+    cfg["train"]["losses"].pop("pesq", None)  # pesq lib not in env
+    cfg["pesq"]["interval"] = 1
+    cfg["infer"]["interval"] = 1
+    cfg_path = tmp_path / "smoke.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    run = subprocess.run(
+        [sys.executable, "train.py", "-n", "smoke", "-c", str(cfg_path),
+         "--base_dir", str(tmp_path / "logs")],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert run.returncode == 0, run.stderr[-3000:]
+    ckpts = os.listdir(tmp_path / "logs" / "smoke")
+    assert "00001.ckpt" in ckpts, ckpts
+    assert "config.yaml" in ckpts
+
+    # resume: config omitted -> loads run-dir config + latest ckpt
+    run2 = subprocess.run(
+        [sys.executable, "train.py", "-n", "smoke",
+         "--base_dir", str(tmp_path / "logs")],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert run2.returncode == 0, run2.stderr[-3000:]
+    assert "loaded checkpoint" in run2.stdout

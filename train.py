@@ -1,0 +1,120 @@
+"""Training entry point.
+
+Same CLI contract as the reference (reference: train.py:26-34):
+
+    python train.py -n NAME -c configs/fastenhancer/t.yaml [-p a.b=v ...] [-f]
+
+but one process drives every local TPU chip through a single pjit'd train
+step (the reference's mp.spawn/NCCL launcher collapses into jax sharding;
+reference: train.py:44-78). Resume: re-run with the same -n.
+"""
+import argparse
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+# Honor an explicit JAX_PLATFORMS even when a site hook pre-registered a
+# different backend (this container's sitecustomize forces "axon,cpu").
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("-n", "--name", required=True,
+                   help="run name == logs/{name} directory")
+    p.add_argument("-c", "--config", default=None,
+                   help="yaml/json config (omit to resume from the run dir)")
+    p.add_argument("-p", "--params", nargs="*", default=[],
+                   help="dot-path overrides a.b.c=value")
+    p.add_argument("-f", "--force_save", action="store_true",
+                   help="overwrite an existing saved config")
+    p.add_argument("--base_dir", default="logs")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    base_dir = os.path.join(args.base_dir, args.name)
+
+    from fastenhancer_tpu.utils.hparams import get_hparams
+    from fastenhancer_tpu.utils.summarize import summarize
+    from fastenhancer_tpu.wrappers import get_wrapper
+    from fastenhancer_tpu.data import get_dataset_dataloader
+
+    hps = get_hparams(args.config, base_dir, save=True, params=args.params,
+                      force_save=args.force_save)
+
+    seed = getattr(hps.train, "seed", 1)
+    random.seed(seed)
+    np.random.seed(seed)
+
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    wrapper = get_wrapper(hps.wrapper)(hps, train=True)
+    wrapper.load()  # resume if a checkpoint exists
+
+    n_dev = wrapper.n_devices
+    train_dataset, train_loader = get_dataset_dataloader(
+        hps, "train", wrapper.keys, n_devices=n_dev)
+    _, valid_loader = get_dataset_dataloader(
+        hps, "valid", wrapper.keys, n_devices=n_dev)
+    _, infer_loader = get_dataset_dataloader(
+        hps, "infer", wrapper.infer_keys, n_devices=n_dev)
+
+    from tensorboardX import SummaryWriter
+
+    writer_train = SummaryWriter(os.path.join(base_dir, "train"))
+    writer_valid = SummaryWriter(os.path.join(base_dir, "valid"))
+
+    save_interval = getattr(hps.train, "save_interval", 20)
+    infer_interval = getattr(hps.infer, "interval", 20) if "infer" in hps else 0
+    pesq_interval = wrapper.pesq_interval
+    max_epochs = hps.train.max_epochs
+    sr = hps.data.sampling_rate
+
+    for epoch in range(wrapper.epoch + 1, max_epochs + 1):
+        wrapper.epoch = epoch
+        t0 = time.time()
+        if hasattr(train_dataset, "shuffle"):
+            train_dataset.shuffle(seed + epoch)
+
+        summary = wrapper.train_epoch(train_loader)
+        summary["scalars"]["lr"] = wrapper.get_lr()
+        summarize(writer_train, epoch, sr, **summary)
+
+        calc_metrics = pesq_interval and epoch % pesq_interval == 0
+        summary_v = wrapper.valid_epoch(valid_loader,
+                                        calculate_metrics=calc_metrics)
+        summarize(writer_valid, epoch, sr, **summary_v)
+
+        if infer_interval and epoch % infer_interval == 0:
+            summary_i = wrapper.infer_epoch(infer_loader)
+            summarize(writer_valid, epoch, sr, **summary_i)
+
+        if epoch % save_interval == 0 or epoch == max_epochs or wrapper.test:
+            wrapper.save(epoch)
+
+        msg = "  ".join(f"{k.split('/')[-1]} {v:.4f}"
+                        for k, v in summary_v["scalars"].items())
+        extra = wrapper.metrics.print() if (wrapper.metrics and calc_metrics) else ""
+        print(f"Epoch {epoch}/{max_epochs}  valid: {msg}{extra}"
+              f"  [{time.time() - t0:.1f}s]")
+
+        if wrapper.test:
+            break
+
+    writer_train.close()
+    writer_valid.close()
+
+
+if __name__ == "__main__":
+    main()
