@@ -55,12 +55,14 @@ def _wn_suffix(torch_weight_name: str, sub: tp.Optional[str]) -> str:
     return f"parametrizations.{torch_weight_name}.{which}"
 
 
-def _torch_name_default(path: tp.Tuple[str, ...]) -> tp.Optional[str]:
+def _torch_name_default(path: tp.Tuple[str, ...], prepost: str = "rf",
+                        block: str = "rf_block") -> tp.Optional[str]:
     """Param-tree path -> reference torch parameter name (fastenhancer family).
 
     Reference module layout: enc_pre.{0 conv,1 bn}, encoder.{i}.{0,1},
     rf_pre.{0 lin,1 conv,2 bn}, rf_block.{i}.{rnn,rnn_fc,rnn_post_norm,attn.qkv,
     attn_fc,attn_post_norm,pe}, decoder.{i}.{0,1,3,4}, dec_post.{0,1,3}.
+    Variants rename the prefixes (dprnn_pre/dprnn_block, dpt_pre/dpt_block).
     """
     head, rest = path[0], path[1:]
     if head in ("enc_pre", "dec_post") or head == "encoder":
@@ -79,10 +81,11 @@ def _torch_name_default(path: tp.Tuple[str, ...]) -> tp.Optional[str]:
     if head in ("rf_pre", "rf_post"):
         mod, leaf = rest[0], rest[1]
         idx = {"lin": 0, "conv": 1, "bn": 2}[mod]
-        return f"{head}.{idx}.{leaf}"
+        side = "pre" if head == "rf_pre" else "post"
+        return f"{prepost}_{side}.{idx}.{leaf}"
     if head == "rf_blocks":
         i, mod = rest[0], rest[1]
-        prefix = f"rf_block.{i}"
+        prefix = f"{block}.{i}"
         if mod == "rnn":
             leaf = rest[2]
             sub = rest[3] if len(rest) > 3 else None
@@ -156,6 +159,24 @@ def rf_pre_post_weights(
     post = pre.T.copy()
     post = post / post.sum(axis=1, keepdims=True)
     return pre.astype(np.float32), post.astype(np.float32)
+
+
+def fold_fc_bn(fc: Params, bn_p: Params, bn_s: Params, eps: float) -> Params:
+    """post-norm BN folded into the preceding linear."""
+    std = jnp.sqrt(bn_s["var"] + eps)
+    g = bn_p["weight"] / std
+    return {"weight": fc["weight"] * g[:, None],
+            "bias": bn_p["bias"] - bn_s["mean"] * g}
+
+
+def fold_prenorm_into_rnn(rnn: Params, bn_s: Params, eps: float) -> Params:
+    """affine-less pre-norm folded into GRU input weights/bias."""
+    std = jnp.sqrt(bn_s["var"] + eps)
+    beta = -bn_s["mean"] / std
+    rnn = dict(rnn)
+    rnn["bias_ih"] = rnn["bias_ih"] + rnn["weight_ih"] @ beta
+    rnn["weight_ih"] = rnn["weight_ih"] / std
+    return rnn
 
 
 def positional_embedding(channels: int, freq: int) -> np.ndarray:
@@ -234,6 +255,17 @@ class Model:
         self.resnet = resnet
         self.sampling_rate = sampling_rate
         self.freq = n_fft // 2 // stride  # encoder-out freq bins
+        # variant-shared block geometry (subclasses set their own)
+        self.num_blocks = self.rf.num_blocks
+        self.block_freq = self.rf.freq
+        self.block_channels = self.rf.channels
+        # variants expose final_scale in {True, False, "exp"} and a scale
+        # initializer (reference: models/.../ln/model.py:84-116); the paper
+        # model is the plain scale=1 case.
+        self.final_scale: tp.Union[bool, str] = True
+        self.final_scale_init: str = "one"
+        self.tname_prepost = "rf"
+        self.tname_block = "rf_block"
         assert kernel_size[0] % stride == 0
         assert (kernel_size[0] - stride) % 2 == 0
 
@@ -249,19 +281,16 @@ class Model:
 
         # NOTE: weight_norm in the reference applies ONLY to the RNNFormer GRU
         # and qkv weights (models/.../model.py:209-213); convolutions are plain.
-        def conv_bn(key, out_ch, in_ch, k):
-            p = fnn.torch_conv1d_init(key, out_ch, in_ch, k, bias=False)
-            bn_p, bn_s = fnn.init_batch_norm(out_ch)
-            return {"conv": p, "bn": bn_p}, {"bn": bn_s}
+        conv_bn = self._conv_block_init
 
         # Encoder PreNet: strided conv via reshape trick (in=2*stride, k=k0/stride)
         k0 = cfg.kernel_size[0]
         params["enc_pre"], stats["enc_pre"] = conv_bn(
-            next(keys), c, 2 * cfg.stride, k0 // cfg.stride)
+            next(keys), c, 2 * cfg.stride, k0 // cfg.stride, site="enc_pre")
 
         params["encoder"], stats["encoder"] = [], []
         for k in cfg.kernel_size[1:]:
-            p, s = conv_bn(next(keys), c, c, k)
+            p, s = conv_bn(next(keys), c, c, k, site="encoder")
             params["encoder"].append(p)
             stats["encoder"].append(s)
 
@@ -272,59 +301,102 @@ class Model:
         else:
             pre_w, post_w = map(jnp.asarray, rf_pre_post_weights(
                 cfg.freq, rf.freq, cfg.pre_post_init, cfg.sampling_rate))
-        conv_p, conv_s = conv_bn(next(keys), rf.channels, c, 1)
+        conv_p, conv_s = conv_bn(next(keys), self.block_channels, c, 1,
+                                 site="rf_pre")
         params["rf_pre"] = {"lin": {"weight": pre_w}, **conv_p}
         stats["rf_pre"] = conv_s
-        conv_p, conv_s = conv_bn(next(keys), c, rf.channels, 1)
+        conv_p, conv_s = conv_bn(next(keys), c, self.block_channels, 1,
+                                 site="rf_post")
         params["rf_post"] = {"lin": {"weight": post_w}, **conv_p}
         stats["rf_post"] = conv_s
 
-        # RNNFormer blocks
+        # RNNFormer (or variant) blocks
         params["rf_blocks"], stats["rf_blocks"] = [], []
-        for i in range(rf.num_blocks):
-            bk = jax.random.split(next(keys), 4)
-            rnn = fnn.init_gru(bk[0], rf.channels, rf.channels)
-            attn = fnn.init_attention(bk[1], rf.channels, rf.attn_bias)
-            if cfg.weight_norm:
-                rnn["weight_ih"] = fnn.to_wn(rnn["weight_ih"])
-                rnn["weight_hh"] = fnn.to_wn(rnn["weight_hh"])
-                attn["qkv"]["weight"] = fnn.to_wn(attn["qkv"]["weight"])
-            bn_rnn_p, bn_rnn_s = fnn.init_batch_norm(rf.channels)
-            bn_attn_p, bn_attn_s = fnn.init_batch_norm(rf.channels)
-            bp: Params = {
-                "rnn": rnn,
-                "rnn_fc": fnn.torch_linear_init(bk[2], rf.channels, rf.channels, False),
-                "rnn_post_norm": bn_rnn_p,
-                "attn": attn,
-                "attn_fc": fnn.torch_linear_init(bk[3], rf.channels, rf.channels, False),
-                "attn_post_norm": bn_attn_p,
-            }
-            bs: Params = {"rnn_post_norm": bn_rnn_s, "attn_post_norm": bn_attn_s}
-            if rf.pre_norm:
-                _, bs["rnn_pre_norm"] = fnn.init_batch_norm(rf.channels, affine=False)
-                _, bs["attn_pre_norm"] = fnn.init_batch_norm(rf.channels, affine=False)
-            if i == 0 and rf.positional_embedding is not None:
-                pe = jnp.asarray(positional_embedding(rf.channels, rf.freq))
-                bp["pe"] = {"weight": pe}
+        for i in range(self.num_blocks):
+            bp, bs = self._block_init(next(keys), i)
             params["rf_blocks"].append(bp)
             stats["rf_blocks"].append(bs)
 
         # Decoder
         params["decoder"], stats["decoder"] = [], []
         for k in cfg.kernel_size[:0:-1]:
-            p1, s1 = conv_bn(next(keys), c, 2 * c, 1)
-            p2, s2 = conv_bn(next(keys), c, c, k)
-            params["decoder"].append({"conv1": p1["conv"], "bn1": p1["bn"],
-                                      "conv2": p2["conv"], "bn2": p2["bn"]})
-            stats["decoder"].append({"bn1": s1["bn"], "bn2": s2["bn"]})
+            p1, s1 = conv_bn(next(keys), c, 2 * c, 1, site="decoder1")
+            p2, s2 = conv_bn(next(keys), c, c, k, site="decoder2")
+            unit = {"conv1": p1["conv"], "conv2": p2["conv"]}
+            for tag, pp in (("1", p1), ("2", p2)):
+                if "bn" in pp:
+                    unit[f"bn{tag}"] = pp["bn"]
+                if "gn" in pp:
+                    unit[f"gn{tag}"] = pp["gn"]
+            params["decoder"].append(unit)
+            st = {}
+            if "bn" in s1:
+                st = {"bn1": s1["bn"], "bn2": s2["bn"]}
+            stats["decoder"].append(st)
 
         # Decoder PostNet: 1x1 conv + BN + scaled transposed conv (C -> 2)
-        p1, s1 = conv_bn(next(keys), c, 2 * c, 1)
+        p1, s1 = conv_bn(next(keys), c, 2 * c, 1, site="dec_post")
         convt = fnn.torch_convtranspose1d_init(next(keys), c, 2, k0, bias=True)
-        convt["scale"] = jnp.ones(1)
+        if self.final_scale is not False:
+            scale = jnp.ones(1)
+            if self.normalize_final_conv:
+                fsi = self.final_scale_init
+                if fsi == "1/sqrt(fan_in)":
+                    scale = scale / math.sqrt(c * k0 // cfg.stride)
+                elif fsi == "||weight||":
+                    scale = jnp.sqrt(jnp.sum(jnp.square(convt["weight"])))[None]
+                elif fsi == "zero":
+                    scale = jnp.zeros(1)
+                elif fsi != "one":
+                    mean, std = map(float, fsi.split("_"))
+                    scale = jnp.sqrt(
+                        jnp.sum(jnp.square(convt["weight"])))[None] * std
+                    convt["bias"] = jnp.full_like(convt["bias"], mean)
+            if self.final_scale == "exp":
+                scale = jnp.log(jnp.maximum(scale, 1e-5))
+            convt["scale"] = scale
         params["dec_post"] = {**p1, "convt": convt}
         stats["dec_post"] = s1
         return {"params": params, "stats": stats}
+
+    def _conv_block_init(self, key: Array, out_ch: int, in_ch: int, k: int,
+                         site: str = "") -> tp.Tuple[Params, Params]:
+        """conv + norm unit; the ln variant overrides the norm kind and
+        per-site conv bias."""
+        del site
+        p = fnn.torch_conv1d_init(key, out_ch, in_ch, k, bias=False)
+        bn_p, bn_s = fnn.init_batch_norm(out_ch)
+        return {"conv": p, "bn": bn_p}, {"bn": bn_s}
+
+    def _block_init(self, key: Array, i: int) -> tp.Tuple[Params, Params]:
+        """One RNNFormer block: time-GRU + freq-MHSA with post-BN residuals
+        (reference: models/.../default/model.py:155-264)."""
+        cfg, rf = self, self.rf
+        bk = jax.random.split(key, 4)
+        rnn = fnn.init_gru(bk[0], rf.channels, rf.channels)
+        attn = fnn.init_attention(bk[1], rf.channels, rf.attn_bias)
+        if cfg.weight_norm:
+            rnn["weight_ih"] = fnn.to_wn(rnn["weight_ih"])
+            rnn["weight_hh"] = fnn.to_wn(rnn["weight_hh"])
+            attn["qkv"]["weight"] = fnn.to_wn(attn["qkv"]["weight"])
+        bn_rnn_p, bn_rnn_s = fnn.init_batch_norm(rf.channels)
+        bn_attn_p, bn_attn_s = fnn.init_batch_norm(rf.channels)
+        bp: Params = {
+            "rnn": rnn,
+            "rnn_fc": fnn.torch_linear_init(bk[2], rf.channels, rf.channels, False),
+            "rnn_post_norm": bn_rnn_p,
+            "attn": attn,
+            "attn_fc": fnn.torch_linear_init(bk[3], rf.channels, rf.channels, False),
+            "attn_post_norm": bn_attn_p,
+        }
+        bs: Params = {"rnn_post_norm": bn_rnn_s, "attn_post_norm": bn_attn_s}
+        if rf.pre_norm:
+            _, bs["rnn_pre_norm"] = fnn.init_batch_norm(rf.channels, affine=False)
+            _, bs["attn_pre_norm"] = fnn.init_batch_norm(rf.channels, affine=False)
+        if i == 0 and rf.positional_embedding is not None:
+            pe = jnp.asarray(positional_embedding(rf.channels, rf.freq))
+            bp["pe"] = {"weight": pe}
+        return bp, bs
 
     # -- building blocks ------------------------------------------------------
 
@@ -344,6 +416,8 @@ class Model:
         if "bn" in p and p["bn"] is not None:
             y, new_bn = fnn.batch_norm(p["bn"], s["bn"], y, train=train, eps=eps)
             new_s = {"bn": new_bn}
+        elif "gn" in p and p["gn"] is not None:
+            y = fnn.layer_norm_fc(p["gn"], y, eps=eps)
         if act:
             y = self.act(y)
         return y, new_s
@@ -352,11 +426,14 @@ class Model:
         """ScaledConvTranspose1d (reference: model.py:62-95)."""
         w = p["weight"]
         if "scale" in p:  # unfolded
+            scale = p["scale"]
+            if self.final_scale == "exp":
+                scale = jnp.exp(scale)
             if self.normalize_final_conv:
                 norm = jnp.sqrt(jnp.sum(jnp.square(w)))
-                w = w / jnp.maximum(norm, 1e-12) * p["scale"]
+                w = w / jnp.maximum(norm, 1e-12) * scale
             else:
-                w = w * p["scale"]
+                w = w * scale
         pad = (self.kernel_size[0] - self.stride) // 2
         return fnn.conv_transpose1d_cl(
             {"weight": w, "bias": p["bias"]}, x,
@@ -420,18 +497,18 @@ class Model:
 
         # [B*T, F', C'] -> [T, B, F', C']
         cc = x.shape[-1]
-        x = x.reshape(b, t, rf.freq, cc).transpose(1, 0, 2, 3)
+        x = x.reshape(b, t, self.block_freq, cc).transpose(1, 0, 2, 3)
 
         h_out: tp.List[Array] = []
         for i, (bp, bs) in enumerate(zip(params["rf_blocks"], stats["rf_blocks"])):
             h_i = None if h0 is None else h0[i]
-            x, h_t, s = self._rnnformer_block(bp, bs, x, h_i, train=train)
+            x, h_t, s = self._block_apply(bp, bs, x, h_i, train=train)
             h_out.append(h_t)
             if s is not None:
                 new_stats["rf_blocks"][i] = s
 
         # [T, B, F', C'] -> [B*T, F', C']
-        x = x.transpose(1, 0, 2, 3).reshape(b * t, rf.freq, cc)
+        x = x.transpose(1, 0, 2, 3).reshape(b * t, self.block_freq, cc)
         w_post = params["rf_post"]["lin"]["weight"]
         x = jnp.einsum("oF,nFc->noc", w_post, x)
         x, s = self._conv_bn_act(params["rf_post"], stats["rf_post"], x,
@@ -445,14 +522,14 @@ class Model:
         for i, (p, st) in enumerate(zip(params["decoder"], stats["decoder"])):
             x_in = x
             x = jnp.concatenate([x, skips.pop()], axis=-1)
+            unit1 = {"conv": p["conv1"], "bn": p.get("bn1"), "gn": p.get("gn1")}
+            unit2 = {"conv": p["conv2"], "bn": p.get("bn2"), "gn": p.get("gn2")}
             y, s1 = self._conv_bn_act(
-                {"conv": p["conv1"], "bn": p.get("bn1")},
-                {"bn": st["bn1"]} if st and "bn1" in st else None,
+                unit1, {"bn": st["bn1"]} if st and "bn1" in st else None,
                 x, train=train)
             k = cfg.kernel_size[len(cfg.kernel_size) - 1 - i]
             y, s2 = self._conv_bn_act(
-                {"conv": p["conv2"], "bn": p.get("bn2")},
-                {"bn": st["bn2"]} if st and "bn2" in st else None,
+                unit2, {"bn": st["bn2"]} if st and "bn2" in st else None,
                 y, padding=(k - 1) // 2, train=train)
             if s1 is not None:
                 new_stats["decoder"][i] = {"bn1": s1["bn"], "bn2": s2["bn"]}
@@ -471,7 +548,7 @@ class Model:
         mask = mask.reshape(b, t, f_in, 2).transpose(0, 2, 1, 3)  # [B, F, T, 2]
         return mask, h_out, new_stats
 
-    def _rnnformer_block(
+    def _block_apply(
         self,
         p: Params,
         s: Params,
@@ -563,11 +640,12 @@ class Model:
         return {
             "stft": init_stft_carry(self.stft_cfg, batch, dtype),
             "istft": init_istft_carry(self.stft_cfg, batch, dtype),
-            "h": [
-                jnp.zeros((batch * self.rf.freq, self.rf.channels), dtype)
-                for _ in range(self.rf.num_blocks)
-            ],
+            "h": [self._block_carry_init(batch, dtype)
+                  for _ in range(self.num_blocks)],
         }
+
+    def _block_carry_init(self, batch: int, dtype) -> Array:
+        return jnp.zeros((batch * self.block_freq, self.block_channels), dtype)
 
     def streaming_step(
         self, variables: Params, carry: Params, wav_hop: Array
@@ -641,52 +719,9 @@ class Model:
                                       stats[name]["bn"]),
             }
 
-        eps = self.rf.eps
-        out["rf_blocks"] = []
-        for bp, bs in zip(params["rf_blocks"], stats["rf_blocks"]):
-            nb: Params = {}
-            rnn = {k: plain(bp["rnn"], k) if k.startswith("weight") else bp["rnn"][k]
-                   for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")}
-            qkv_w = plain(bp["attn"]["qkv"])
-            qkv = {"weight": qkv_w}
-            if "bias" in bp["attn"]["qkv"]:
-                qkv["bias"] = bp["attn"]["qkv"]["bias"]
-
-            # fold post-norm BN into the fc that precedes it
-            def fold_fc(fc: Params, bn_p: Params, bn_s: Params) -> Params:
-                std = jnp.sqrt(bn_s["var"] + eps)
-                g = bn_p["weight"] / std
-                return {
-                    "weight": fc["weight"] * g[:, None],
-                    "bias": bn_p["bias"] - bn_s["mean"] * g,
-                }
-
-            nb["rnn_fc"] = fold_fc(bp["rnn_fc"], bp["rnn_post_norm"],
-                                   bs["rnn_post_norm"])
-            nb["attn_fc"] = fold_fc(bp["attn_fc"], bp["attn_post_norm"],
-                                    bs["attn_post_norm"])
-            nb["rnn_post_norm"] = None
-            nb["attn_post_norm"] = None
-
-            # fold pre-norms (affine=False) into qkv / GRU input weights
-            if self.rf.pre_norm:
-                st = bs["attn_pre_norm"]
-                std = jnp.sqrt(st["var"] + eps)
-                beta = -st["mean"] / std
-                qkv_bias = qkv.get("bias", jnp.zeros(qkv_w.shape[0]))
-                qkv = {"weight": qkv_w / std,
-                       "bias": qkv_bias + qkv_w @ beta}
-                st = bs["rnn_pre_norm"]
-                std = jnp.sqrt(st["var"] + eps)
-                beta = -st["mean"] / std
-                rnn = dict(rnn)
-                rnn["bias_ih"] = rnn["bias_ih"] + rnn["weight_ih"] @ beta
-                rnn["weight_ih"] = rnn["weight_ih"] / std
-            nb["rnn"] = rnn
-            nb["attn"] = {"qkv": qkv}
-            if "pe" in bp:
-                nb["pe"] = bp["pe"]
-            out["rf_blocks"].append(nb)
+        out["rf_blocks"] = [self._block_fold(bp, bs)
+                            for bp, bs in zip(params["rf_blocks"],
+                                              stats["rf_blocks"])]
 
         out["decoder"] = [
             {"conv1": merge_conv_bn(p["conv1"], p["bn1"], s["bn1"]),
@@ -696,9 +731,14 @@ class Model:
 
         convt = dict(params["dec_post"]["convt"])
         w = convt["weight"]
-        if self.normalize_final_conv:
-            w = w / jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(w))), 1e-12)
-        convt_folded = {"weight": w * convt["scale"], "bias": convt["bias"]}
+        if "scale" in convt:
+            scale = convt["scale"]
+            if self.final_scale == "exp":
+                scale = jnp.exp(scale)
+            if self.normalize_final_conv:
+                w = w / jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(w))), 1e-12)
+            w = w * scale
+        convt_folded = {"weight": w, "bias": convt["bias"]}
         out["dec_post"] = {
             "conv": merge_conv_bn(params["dec_post"]["conv"],
                                   params["dec_post"]["bn"],
@@ -714,6 +754,40 @@ class Model:
             "decoder": [{} for _ in out["decoder"]], "dec_post": {},
         }
         return {"params": out, "stats": folded_stats}
+
+    def _block_fold(self, bp: Params, bs: Params) -> Params:
+        """Fold one block: post-BN into the fc, pre-norm into GRU/QKV inputs
+        (reference: models/.../default/model.py:215-258)."""
+        eps = self.rf.eps
+        plain = fnn.maybe_wn_weight
+        nb: Params = {}
+        rnn = {k: plain(bp["rnn"], k) if k.startswith("weight") else bp["rnn"][k]
+               for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")}
+        qkv_w = plain(bp["attn"]["qkv"])
+        qkv = {"weight": qkv_w}
+        if "bias" in bp["attn"]["qkv"]:
+            qkv["bias"] = bp["attn"]["qkv"]["bias"]
+
+        nb["rnn_fc"] = fold_fc_bn(bp["rnn_fc"], bp["rnn_post_norm"],
+                                  bs["rnn_post_norm"], eps)
+        nb["attn_fc"] = fold_fc_bn(bp["attn_fc"], bp["attn_post_norm"],
+                                   bs["attn_post_norm"], eps)
+        nb["rnn_post_norm"] = None
+        nb["attn_post_norm"] = None
+
+        if self.rf.pre_norm:
+            st = bs["attn_pre_norm"]
+            std = jnp.sqrt(st["var"] + eps)
+            beta = -st["mean"] / std
+            qkv_bias = qkv.get("bias", jnp.zeros(qkv_w.shape[0]))
+            qkv = {"weight": qkv_w / std,
+                   "bias": qkv_bias + qkv_w @ beta}
+            rnn = fold_prenorm_into_rnn(rnn, bs["rnn_pre_norm"], eps)
+        nb["rnn"] = rnn
+        nb["attn"] = {"qkv": qkv}
+        if "pe" in bp:
+            nb["pe"] = bp["pe"]
+        return nb
 
     # -- misc ---------------------------------------------------------------------
 
@@ -735,7 +809,7 @@ class Model:
 
         Returns None for buffers (fixed pe / fixed filterbanks are excluded
         separately via fixed_param_paths)."""
-        return _torch_name_default(path)
+        return _torch_name_default(path, self.tname_prepost, self.tname_block)
 
     def num_params(self, params: Params) -> int:
         """Trainable parameter count (fixed buffers excluded)."""

@@ -1,0 +1,261 @@
+"""FastEnhancer dprnn ablation: freq-MHSA replaced by a bidirectional
+frequency GRU (dual-path RNN).
+
+Reference: models/fastenhancer/dprnn/model.py — each block is a causal time
+GRU (trnn) followed by a bidirectional frequency GRU (frnn, hidden C/2 per
+direction), both with post-BN residuals (:132-246). The frequency filterbank
+uses the absolute-Hz grid with linear or mel (slaney/htk, pinv inverse) init
+(:251-313). Streaming carry = trnn hidden only (the frnn runs within one
+frame).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import nn as fnn
+from .default import Model as DefaultModel, Params, Array, fold_fc_bn, \
+    fold_prenorm_into_rnn
+from .noncausal import hz_grid_linear_weights
+
+
+@dataclasses.dataclass
+class DPRNNConfig:
+    num_blocks: int = 3
+    channels: int = 32
+    channels_frnn: int = 16
+    freq: int = 32
+    eps: float = 1e-5
+    pre_norm: bool = False
+
+
+def mel_fbank_weights(freq: int, n_filter: int, sr: int
+                      ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Slaney-normalized HTK-mel filterbank scaled by f_n/freq + its
+    pseudo-inverse, with empty rows patched to one-hot
+    (reference: models/fastenhancer/dprnn/model.py:263-298)."""
+    f_n = sr // 2
+    all_freqs = np.linspace(0, f_n, freq)
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    m_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(f_n), n_filter + 2)
+    f_pts = mel_to_hz(m_pts)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]  # [freq, n_filter+2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))  # [freq, n_filter]
+    enorm = 2.0 / (f_pts[2: n_filter + 2] - f_pts[:n_filter])  # slaney norm
+    fb = fb * enorm[None, :]
+    mel_fb = fb.T * f_n / freq  # [n_filter, freq]
+
+    # reference's mel_to_hz for row patching uses base-e with 1127
+    def mel_to_hz_e(mel: float) -> float:
+        return 700.0 * (math.e ** (mel / 1127.0) - 1.0)
+
+    mel_max = float(hz_to_mel(f_n))
+    for idx in range(n_filter):
+        if np.isclose(mel_fb[idx].sum(), 0.0):
+            idx_f = round(mel_to_hz_e(idx / n_filter * mel_max) * freq / f_n)
+            mel_fb[idx, min(max(idx_f, 0), freq - 1)] = 1.0
+    mel_fb_inv = np.linalg.pinv(mel_fb)
+    for idx in range(freq):
+        if np.isclose(mel_fb_inv[idx].sum(), 0.0):
+            idx_mel = round(float(hz_to_mel(idx / freq * f_n)) * n_filter / mel_max)
+            mel_fb_inv[idx, min(max(idx_mel, 0), n_filter - 1)] = 1.0
+    return mel_fb.astype(np.float32), mel_fb_inv.astype(np.float32)
+
+
+class Model(DefaultModel):
+    def __init__(
+        self,
+        channels: int = 64,
+        kernel_size: tp.Sequence[int] = (8, 3, 3),
+        stride: int = 4,
+        dprnn_kwargs: tp.Optional[tp.Dict[str, tp.Any]] = None,
+        activation: str = "ReLU",
+        activation_kwargs: tp.Optional[tp.Dict[str, tp.Any]] = None,
+        n_fft: int = 512,
+        hop_size: int = 160,
+        win_size: int = 400,
+        window: tp.Optional[str] = "povey",
+        stft_normalized: bool = False,
+        mask: tp.Optional[str] = None,
+        input_compression: float = 0.25,
+        weight_norm: bool = False,
+        final_scale: tp.Union[bool, str] = "exp",
+        normalize_final_conv: bool = False,
+        pre_post_init: tp.Optional[str] = None,
+        sampling_rate: int = 16_000,
+    ):
+        self.dp = DPRNNConfig(**(dprnn_kwargs or {}))
+        super().__init__(
+            channels=channels, kernel_size=kernel_size, stride=stride,
+            rnnformer_kwargs=dict(
+                num_blocks=self.dp.num_blocks, channels=self.dp.channels,
+                freq=self.dp.freq, eps=self.dp.eps,
+                pre_norm=self.dp.pre_norm, positional_embedding=None),
+            activation=activation, activation_kwargs=activation_kwargs,
+            n_fft=n_fft, hop_size=hop_size, win_size=win_size, window=window,
+            stft_normalized=stft_normalized, mask=mask,
+            input_compression=input_compression, weight_norm=weight_norm,
+            normalize_final_conv=normalize_final_conv,
+            pre_post_init=pre_post_init, sampling_rate=sampling_rate)
+        assert final_scale in (True, False, "exp")
+        self.final_scale = final_scale
+        self.tname_prepost = "dprnn"
+        self.tname_block = "dprnn_block"
+
+    def init(self, key: Array) -> tp.Dict[str, Params]:
+        variables = super().init(key)
+        if self.pre_post_init is not None:
+            if self.pre_post_init.startswith("mel"):
+                pre_w, post_w = mel_fbank_weights(self.freq, self.dp.freq,
+                                                  self.sampling_rate)
+            else:
+                pre_w, post_w = hz_grid_linear_weights(self.freq, self.dp.freq,
+                                                       self.sampling_rate)
+            variables["params"]["rf_pre"]["lin"]["weight"] = jnp.asarray(pre_w)
+            variables["params"]["rf_post"]["lin"]["weight"] = jnp.asarray(post_w)
+        return variables
+
+    # -- block: trnn + bidirectional frnn ---------------------------------------
+
+    def _block_init(self, key: Array, i: int) -> tp.Tuple[Params, Params]:
+        del i
+        dp = self.dp
+        bk = jax.random.split(key, 4)
+        trnn = fnn.init_gru(bk[0], dp.channels, dp.channels)
+        frnn = fnn.init_bigru(bk[1], dp.channels, dp.channels_frnn)
+        if self.weight_norm:
+            trnn["weight_ih"] = fnn.to_wn(trnn["weight_ih"])
+            trnn["weight_hh"] = fnn.to_wn(trnn["weight_hh"])
+            for d in ("fwd", "bwd"):
+                frnn[d]["weight_ih"] = fnn.to_wn(frnn[d]["weight_ih"])
+                frnn[d]["weight_hh"] = fnn.to_wn(frnn[d]["weight_hh"])
+        bn_t_p, bn_t_s = fnn.init_batch_norm(dp.channels)
+        bn_f_p, bn_f_s = fnn.init_batch_norm(dp.channels)
+        bp: Params = {
+            "trnn": trnn,
+            "trnn_fc": fnn.torch_linear_init(bk[2], dp.channels, dp.channels,
+                                             False),
+            "trnn_post_norm": bn_t_p,
+            "frnn": frnn,
+            "frnn_fc": fnn.torch_linear_init(bk[3], dp.channels,
+                                             2 * dp.channels_frnn, False),
+            "frnn_post_norm": bn_f_p,
+        }
+        bs: Params = {"trnn_post_norm": bn_t_s, "frnn_post_norm": bn_f_s}
+        if dp.pre_norm:
+            _, bs["trnn_pre_norm"] = fnn.init_batch_norm(dp.channels, affine=False)
+            _, bs["frnn_pre_norm"] = fnn.init_batch_norm(dp.channels, affine=False)
+        return bp, bs
+
+    @staticmethod
+    def _plain_gru(p: Params) -> Params:
+        return {k: fnn.maybe_wn_weight(p, k) if k.startswith("weight") else p[k]
+                for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")}
+
+    def _block_apply(self, p: Params, s: Params, x: Array,
+                     h0: tp.Optional[Array], train: bool
+                     ) -> tp.Tuple[Array, Array, tp.Optional[Params]]:
+        """Reference: models/fastenhancer/dprnn/model.py:227-246."""
+        dp = self.dp
+        t, b, f, c = x.shape
+        new_s = dict(s) if s else None
+
+        # --- time GRU ---
+        x_in = x
+        y = x
+        if s is not None and "trnn_pre_norm" in s:
+            y, st = fnn.batch_norm(None, s["trnn_pre_norm"], y, train=train,
+                                   eps=dp.eps)
+            new_s["trnn_pre_norm"] = st
+        y = y.reshape(t, b * f, c)
+        if h0 is None:
+            h0 = jnp.zeros((b * f, c), x.dtype)
+        y, h_t = fnn.gru(self._plain_gru(p["trnn"]), y, h0)
+        y = y.reshape(t, b, f, c)
+        y = fnn.linear(p["trnn_fc"], y)
+        if p.get("trnn_post_norm") is not None:
+            y, st = fnn.batch_norm(p["trnn_post_norm"], s["trnn_post_norm"], y,
+                                   train=train, eps=dp.eps)
+            new_s["trnn_post_norm"] = st
+        x = y + x_in
+
+        # --- bidirectional freq GRU ---
+        x_in = x
+        y = x
+        if s is not None and "frnn_pre_norm" in s:
+            y, st = fnn.batch_norm(None, s["frnn_pre_norm"], y, train=train,
+                                   eps=dp.eps)
+            new_s["frnn_pre_norm"] = st
+        # scan over FREQ: [T,B,F,C] -> [F, T*B, C]
+        y = y.reshape(t * b, f, c).swapaxes(0, 1)
+        frnn = {d: self._plain_gru(p["frnn"][d]) for d in ("fwd", "bwd")}
+        y = fnn.bigru(frnn, y)  # [F, T*B, 2*C_frnn]
+        y = y.swapaxes(0, 1).reshape(t, b, f, 2 * dp.channels_frnn)
+        y = fnn.linear(p["frnn_fc"], y)
+        if p.get("frnn_post_norm") is not None:
+            y, st = fnn.batch_norm(p["frnn_post_norm"], s["frnn_post_norm"], y,
+                                   train=train, eps=dp.eps)
+            new_s["frnn_post_norm"] = st
+        x = y + x_in
+        return x, h_t, new_s
+
+    def _block_fold(self, bp: Params, bs: Params) -> Params:
+        eps = self.dp.eps
+        nb: Params = {
+            "trnn": self._plain_gru(bp["trnn"]),
+            "frnn": {d: self._plain_gru(bp["frnn"][d]) for d in ("fwd", "bwd")},
+            "trnn_fc": fold_fc_bn(bp["trnn_fc"], bp["trnn_post_norm"],
+                                  bs["trnn_post_norm"], eps),
+            "frnn_fc": fold_fc_bn(bp["frnn_fc"], bp["frnn_post_norm"],
+                                  bs["frnn_post_norm"], eps),
+            "trnn_post_norm": None,
+            "frnn_post_norm": None,
+        }
+        if self.dp.pre_norm:
+            nb["trnn"] = fold_prenorm_into_rnn(nb["trnn"], bs["trnn_pre_norm"],
+                                               eps)
+            nb["frnn"] = {d: fold_prenorm_into_rnn(nb["frnn"][d],
+                                                   bs["frnn_pre_norm"], eps)
+                          for d in ("fwd", "bwd")}
+        return nb
+
+    def torch_name(self, path: tp.Tuple[str, ...]) -> tp.Optional[str]:
+        if path[0] == "rf_blocks":
+            i, mod = path[1], path[2]
+            prefix = f"dprnn_block.{i}"
+            if mod == "trnn":
+                leaf = path[3]
+                sub = path[4] if len(path) > 4 else None
+                if leaf.startswith("weight"):
+                    if sub is None:
+                        return f"{prefix}.trnn.{leaf}_l0"
+                    which = "original0" if sub == "g" else "original1"
+                    return f"{prefix}.trnn.parametrizations.{leaf}_l0.{which}"
+                return f"{prefix}.trnn.{leaf}_l0"
+            if mod == "frnn":
+                direction, leaf = path[3], path[4]
+                sub = path[5] if len(path) > 5 else None
+                suffix = "_l0" if direction == "fwd" else "_l0_reverse"
+                if leaf.startswith("weight"):
+                    if sub is None:
+                        return f"{prefix}.frnn.{leaf}{suffix}"
+                    which = "original0" if sub == "g" else "original1"
+                    return (f"{prefix}.frnn.parametrizations."
+                            f"{leaf}{suffix}.{which}")
+                return f"{prefix}.frnn.{leaf}{suffix}"
+            return f"{prefix}.{mod}.{path[3]}"
+        return super().torch_name(path)

@@ -78,6 +78,23 @@ def gru(
     return ys, h_t
 
 
+def init_bigru(key: Array, input_size: int, hidden_size: int) -> Params:
+    """Bidirectional GRU: {"fwd": gru params, "bwd": gru params} (torch
+    weight_*_l0 / weight_*_l0_reverse)."""
+    k1, k2 = jax.random.split(key)
+    return {"fwd": init_gru(k1, input_size, hidden_size),
+            "bwd": init_gru(k2, input_size, hidden_size)}
+
+
+def bigru(params: Params, x: Array) -> Array:
+    """Bidirectional full-sequence GRU. x: [T, N, I] -> [T, N, 2H]
+    (forward outputs concatenated with reversed-scan backward outputs,
+    torch bidirectional=True layout)."""
+    y_f, _ = gru(params["fwd"], x)
+    y_b, _ = gru(params["bwd"], jnp.flip(x, axis=0))
+    return jnp.concatenate([y_f, jnp.flip(y_b, axis=0)], axis=-1)
+
+
 def gru_step(params: Params, x: Array, h: Array) -> Array:
     """Single streaming step. x: [N, I], h: [N, H] -> h' [N, H]."""
     w_ih, w_hh, b_ih, b_hh = _gates(params)

@@ -194,6 +194,27 @@ def init_batch_norm(c: int, affine: bool = True) -> tp.Tuple[tp.Optional[Params]
     return params, stats
 
 
+def layer_norm_fc(params: tp.Optional[Params], x: Array,
+                  eps: float = 1e-5) -> Array:
+    """Normalize over the last TWO axes (freq, channel) with per-channel
+    affine — the ln-ablation's LayerNorm / GroupNorm(1, C) semantics
+    (reference: models/fastenhancer/ln/model.py:16-37, GroupNorm usage
+    :427-509). Stats in f32, output in x.dtype."""
+    in_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(-2, -1), keepdims=True)
+    diff = xf - mean
+    var = jnp.mean(jnp.square(diff), axis=(-2, -1), keepdims=True)
+    y = diff * jax.lax.rsqrt(var + eps)
+    if params is not None:
+        y = y * params["weight"] + params["bias"]
+    return y.astype(in_dtype)
+
+
+def init_layer_norm(c: int, affine: bool = True) -> tp.Optional[Params]:
+    return {"weight": jnp.ones(c), "bias": jnp.zeros(c)} if affine else None
+
+
 # ---------------------------------------------------------------------------
 # Weight norm (torch parametrization: w = g * v / ||v||, norm over dims != 0)
 # ---------------------------------------------------------------------------
