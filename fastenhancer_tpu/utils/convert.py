@@ -289,6 +289,74 @@ def convert_fastenhancer_ln(
     return {"params": params, "stats": stats}
 
 
+def convert_fastenhancer_dpt(
+    state_dict, num_blocks: int, num_encoder: int, pre_norm: bool = False,
+) -> Params:
+    """dptransformer ablation (reference: models/fastenhancer/dptransformer/
+    model.py): dpt_pre/dpt_post/dpt_block.{i}.{time_attn,freq_attn,...} and a
+    model-level relative position bias `pe` [NH, L+1]."""
+    sd = _to_np(state_dict)
+    params: Params = {}
+    stats: Params = {}
+
+    def conv_bn(conv_key: str, bn_key: str):
+        bn_p, bn_s = _bn(sd, bn_key)
+        return ({"conv": {"weight": jnp.asarray(sd[f"{conv_key}.weight"])},
+                 "bn": bn_p}, {"bn": bn_s})
+
+    params["enc_pre"], stats["enc_pre"] = conv_bn("enc_pre.0", "enc_pre.1")
+    params["encoder"], stats["encoder"] = [], []
+    for i in range(num_encoder):
+        p, s = conv_bn(f"encoder.{i}.0", f"encoder.{i}.1")
+        params["encoder"].append(p)
+        stats["encoder"].append(s)
+    for ours, theirs in (("rf_pre", "dpt_pre"), ("rf_post", "dpt_post")):
+        p, s = conv_bn(f"{theirs}.1", f"{theirs}.2")
+        params[ours] = {"lin": {"weight": jnp.asarray(sd[f"{theirs}.0.weight"])},
+                        **p}
+        stats[ours] = s
+
+    params["time_pe"] = {"weight": jnp.asarray(sd["pe"])}
+    params["rf_blocks"], stats["rf_blocks"] = [], []
+    for i in range(num_blocks):
+        b = f"dpt_block.{i}"
+        bp: Params = {}
+        bs: Params = {}
+        for which in ("time", "freq"):
+            qkv: Params = {"weight": _maybe_wn(sd, f"{b}.{which}_attn.qkv")}
+            if f"{b}.{which}_attn.qkv.bias" in sd:
+                qkv["bias"] = jnp.asarray(sd[f"{b}.{which}_attn.qkv.bias"])
+            norm_p, norm_s = _bn(sd, f"{b}.{which}_post_norm")
+            bp[f"{which}_attn"] = {"qkv": qkv}
+            bp[f"{which}_fc"] = {
+                "weight": jnp.asarray(sd[f"{b}.{which}_fc.weight"])}
+            bp[f"{which}_post_norm"] = norm_p
+            bs[f"{which}_post_norm"] = norm_s
+            if pre_norm:
+                _, bs[f"{which}_pre_norm"] = _bn(sd, f"{b}.{which}_pre_norm",
+                                                 affine=False)
+        if f"{b}.pe" in sd:
+            bp["pe"] = {"weight": jnp.asarray(sd[f"{b}.pe"])}
+        params["rf_blocks"].append(bp)
+        stats["rf_blocks"].append(bs)
+
+    params["decoder"], stats["decoder"] = [], []
+    for i in range(num_encoder):
+        p1, s1 = conv_bn(f"decoder.{i}.0", f"decoder.{i}.1")
+        p2, s2 = conv_bn(f"decoder.{i}.3", f"decoder.{i}.4")
+        params["decoder"].append({"conv1": p1["conv"], "bn1": p1["bn"],
+                                  "conv2": p2["conv"], "bn2": p2["bn"]})
+        stats["decoder"].append({"bn1": s1["bn"], "bn2": s2["bn"]})
+    p1, s1 = conv_bn("dec_post.0", "dec_post.1")
+    convt: Params = {"weight": jnp.asarray(sd["dec_post.3.weight"]),
+                     "bias": jnp.asarray(sd["dec_post.3.bias"])}
+    if "dec_post.3.scale" in sd:
+        convt["scale"] = jnp.asarray(sd["dec_post.3.scale"])
+    params["dec_post"] = {**p1, "convt": convt}
+    stats["dec_post"] = s1
+    return {"params": params, "stats": stats}
+
+
 def convert_checkpoint(
     ckpt_or_state_dict: tp.Mapping[str, tp.Any],
     model_name: str,
@@ -304,6 +372,26 @@ def convert_checkpoint(
     n_enc = len(model_kwargs.get("kernel_size",
                                  model_kwargs.get("kernel_size_freq",
                                                   [8, 3, 3]))) - 1
+    if model_name == "fastenhancer.dptransformer":
+        cfg = model_kwargs.get("dpt_kwargs", {})
+        return convert_fastenhancer_dpt(
+            sd, num_blocks=cfg.get("num_blocks", 3), num_encoder=n_enc,
+            pre_norm=cfg.get("pre_norm", False))
+    if model_name == "fastenhancer.time_kernel":
+        rf = model_kwargs.get("rnnformer_kwargs", {})
+        out = convert_fastenhancer_default(
+            sd, num_blocks=rf.get("num_blocks", 3), num_encoder=n_enc,
+            pre_norm=rf.get("pre_norm", False))
+        # 1x1 Conv2d weights [O,I,1,1] -> per-frame conv1d [O,I,1];
+        # encoder/decoder causal convs keep their [O,I,kt,kf] 4-D shape.
+        p = out["params"]
+        for name in ("rf_pre", "rf_post"):
+            w = p[name]["conv"]["weight"]
+            p[name]["conv"]["weight"] = w.reshape(w.shape[0], w.shape[1], 1)
+        for unit in p["decoder"]:
+            w = unit["conv1"]["weight"]
+            unit["conv1"]["weight"] = w.reshape(w.shape[0], w.shape[1], 1)
+        return out
     if model_name in ("fastenhancer.default", "fastenhancer.conv_stft"):
         rf = model_kwargs.get("rnnformer_kwargs", {})
         return convert_fastenhancer_default(
