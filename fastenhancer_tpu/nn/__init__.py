@@ -16,6 +16,7 @@ from .layers import (
     uniform_init,
 )
 from .gru import init_gru, gru, gru_step, gru_cell, init_bigru, bigru
+from .lstm import init_lstm, init_bilstm, lstm, bilstm, lstm_cell
 from .attention import init_attention, attention
 
 __all__ = [
@@ -24,5 +25,6 @@ __all__ = [
     "get_activation", "torch_linear_init", "torch_conv1d_init",
     "torch_convtranspose1d_init", "uniform_init",
     "init_gru", "gru", "gru_step", "gru_cell", "init_bigru", "bigru",
+    "init_lstm", "init_bilstm", "lstm", "bilstm", "lstm_cell",
     "init_attention", "attention",
 ]

@@ -114,12 +114,15 @@ def conv_transpose1d_cl(
     x: Array,
     stride: int = 1,
     padding: int = 0,
+    output_padding: int = 0,
     groups: int = 1,
 ) -> Array:
-    """1-D transposed conv; x: [N, L, Cin] -> [N, (L-1)*s + K - 2*pad, Cout].
+    """1-D transposed conv; x: [N, L, Cin] ->
+    [N, (L-1)*s + K - 2*pad + output_padding, Cout].
 
     Weight in torch layout [Cin, Cout/groups, K]. Implemented as the gradient
-    of conv (matches torch semantics incl. `padding` meaning output trim).
+    of conv (matches torch semantics incl. `padding` meaning output trim and
+    `output_padding` extending the right edge).
     """
     assert groups == 1, "grouped conv_transpose not needed by any model yet"
     # torch conv_transpose1d == conv with lhs_dilation=stride over the
@@ -129,7 +132,7 @@ def conv_transpose1d_cl(
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1,),
-        padding=((k - 1 - padding, k - 1 - padding),),
+        padding=((k - 1 - padding, k - 1 - padding + output_padding),),
         lhs_dilation=(stride,),
         dimension_numbers=("NHC", "HIO", "NHC"),
     )

@@ -1,0 +1,79 @@
+"""LSTM for TPU: big input-projection matmul + lax.scan recurrence.
+
+Same design as gru.py; gate order and equations match torch (i, f, g, o) so
+converted checkpoints are bit-compatible (the reference's BSRNN baseline
+uses cuDNN LSTM / LSTMCell, reference: models/bsrnn/model.py:249-317).
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+Params = tp.Dict[str, tp.Any]
+
+
+def init_lstm(key: Array, input_size: int, hidden_size: int) -> Params:
+    ks = jax.random.split(key, 4)
+    b = 1.0 / np.sqrt(hidden_size)
+    u = lambda k, s: jax.random.uniform(k, s, jnp.float32, -b, b)  # noqa: E731
+    return {
+        "weight_ih": u(ks[0], (4 * hidden_size, input_size)),
+        "weight_hh": u(ks[1], (4 * hidden_size, hidden_size)),
+        "bias_ih": u(ks[2], (4 * hidden_size,)),
+        "bias_hh": u(ks[3], (4 * hidden_size,)),
+    }
+
+
+def init_bilstm(key: Array, input_size: int, hidden_size: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"fwd": init_lstm(k1, input_size, hidden_size),
+            "bwd": init_lstm(k2, input_size, hidden_size)}
+
+
+def lstm_cell(x_proj: Array, h: Array, c: Array, w_hh: Array, b_hh: Array
+              ) -> tp.Tuple[Array, Array]:
+    """x_proj: [N, 4H] = x W_ih^T + b_ih. Returns (h', c')."""
+    gates = x_proj + h @ w_hh.T + b_hh
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm(
+    params: Params, x: Array,
+    hc0: tp.Optional[tp.Tuple[Array, Array]] = None,
+) -> tp.Tuple[Array, tp.Tuple[Array, Array]]:
+    """x: [T, N, I] -> (y [T, N, H], (h_T, c_T))."""
+    t, n, _ = x.shape
+    hidden = params["weight_hh"].shape[1]
+    if hc0 is None:
+        h0 = jnp.zeros((n, hidden), x.dtype)
+        c0 = jnp.zeros((n, hidden), x.dtype)
+    else:
+        h0, c0 = hc0
+    x_proj = x @ params["weight_ih"].T + params["bias_ih"]
+    w_hh, b_hh = params["weight_hh"], params["bias_hh"]
+
+    def step(carry, xp):
+        h, c = carry
+        h, c = lstm_cell(xp, h, c, w_hh, b_hh)
+        return (h, c), h
+
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), x_proj)
+    return ys, (h_t, c_t)
+
+
+def bilstm(params: Params, x: Array) -> Array:
+    """x: [T, N, I] -> [T, N, 2H] (torch bidirectional layout)."""
+    y_f, _ = lstm(params["fwd"], x)
+    y_b, _ = lstm(params["bwd"], jnp.flip(x, axis=0))
+    return jnp.concatenate([y_f, jnp.flip(y_b, axis=0)], axis=-1)

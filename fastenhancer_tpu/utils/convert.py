@@ -357,6 +357,178 @@ def convert_fastenhancer_dpt(
     return {"params": params, "stats": stats}
 
 
+def _conv_wb(sd, key: str) -> Params:
+    p: Params = {"weight": jnp.asarray(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{key}.bias"])
+    return p
+
+
+def _lstm(sd, base: str, suffix: str = "_l0") -> Params:
+    return {
+        "weight_ih": jnp.asarray(sd[f"{base}.weight_ih{suffix}"]),
+        "weight_hh": jnp.asarray(sd[f"{base}.weight_hh{suffix}"]),
+        "bias_ih": jnp.asarray(sd[f"{base}.bias_ih{suffix}"]),
+        "bias_hh": jnp.asarray(sd[f"{base}.bias_hh{suffix}"]),
+    }
+
+
+def convert_bsrnn(state_dict, num_layers: int, subbands: tp.Sequence[int],
+                  affine: bool = True, bias: bool = True) -> Params:
+    """BSRNN baseline (reference: models/bsrnn/model.py:262-460)."""
+    sd = _to_np(state_dict)
+    params: Params = {"band_split": [], "layers": [], "mask_decoder": []}
+    stats: Params = {"band_split": [], "layers": [], "mask_decoder": []}
+    for i, _ in enumerate(subbands):
+        bn_p, bn_s = _bn(sd, f"band_split.norm.{i}", affine=affine)
+        params["band_split"].append(
+            {"norm": bn_p, "fc": _conv_wb(sd, f"band_split.fc.{i}")})
+        stats["band_split"].append({"norm": bn_s})
+    for i in range(num_layers):
+        nt_p, nt_s = _bn(sd, f"norm_time.{i}", affine=affine)
+        nf_p, nf_s = _bn(sd, f"norm_freq.{i}", affine=affine)
+        params["layers"].append({
+            "norm_time": nt_p,
+            "rnn_time": _lstm(sd, f"rnn_time.{i}"),
+            "fc_time": _conv_wb(sd, f"fc_time.{i}"),
+            "norm_freq": nf_p,
+            "rnn_freq": {"fwd": _lstm(sd, f"rnn_freq.{i}"),
+                         "bwd": _lstm(sd, f"rnn_freq.{i}", "_l0_reverse")},
+            "fc_freq": _conv_wb(sd, f"fc_freq.{i}"),
+        })
+        stats["layers"].append({"norm_time": nt_s, "norm_freq": nf_s})
+    for i, _ in enumerate(subbands):
+        entry: Params = {}
+        entry_s: Params = {}
+        for which, name in (("mask", "mlp_mask"), ("residual", "mlp_residual")):
+            bn_p, bn_s = _bn(sd, f"mask_decoder.{name}.{i}.0", affine=bias)
+            entry[which] = {
+                "norm": bn_p,
+                "conv1": _conv_wb(sd, f"mask_decoder.{name}.{i}.1"),
+                "conv2": _conv_wb(sd, f"mask_decoder.{name}.{i}.3"),
+            }
+            entry_s[which] = {"norm": bn_s}
+        params["mask_decoder"].append(entry)
+        stats["mask_decoder"].append(entry_s)
+    return {"params": params, "stats": stats}
+
+
+def convert_fspen(state_dict, num_blocks: int, groups: int,
+                  n_channels: int = 3) -> Params:
+    """FSPEN baseline (reference: models/fspen/model.py)."""
+    sd = _to_np(state_dict)
+    params: Params = {}
+    stats: Params = {}
+    params["subband_encoder"] = [
+        _conv_wb(sd, f"subband_encoder.conv{i + 1}.0") for i in range(5)]
+    params["subband_decoder"] = [
+        _conv_wb(sd, f"subband_decoder.lin{i + 1}.0") for i in range(5)]
+    params["fullband_encoder"], stats["fullband_encoder"] = [], []
+    for i in range(n_channels):
+        bn_p, bn_s = _bn(sd, f"fullband_encoder.{i}.1")
+        params["fullband_encoder"].append(
+            {"conv": _conv_wb(sd, f"fullband_encoder.{i}.0"), "bn": bn_p})
+        stats["fullband_encoder"].append({"bn": bn_s})
+    params["fullband_encoder_post"] = _conv_wb(sd, "fullband_encoder_post")
+    params["feature_merge"] = {"lin": _conv_wb(sd, "feature_merge.0"),
+                               "conv": _conv_wb(sd, "feature_merge.2")}
+    params["feature_split"] = {"conv": _conv_wb(sd, "feature_split.0"),
+                               "lin": _conv_wb(sd, "feature_split.1")}
+    params["dpe_blocks"], stats["dpe_blocks"] = [], []
+    for i in range(num_blocks):
+        b = f"dpe_blocks.{i}"
+        params["dpe_blocks"].append({
+            "intra_rnn": _bigru(sd, f"{b}.intra_rnn"),
+            "intra_fc": _conv_wb(sd, f"{b}.intra_fc"),
+            "intra_ln": {"weight": jnp.asarray(sd[f"{b}.intra_ln.weight"]),
+                         "bias": jnp.asarray(sd[f"{b}.intra_ln.bias"])},
+            "inter_rnn": [_gru(sd, f"{b}.inter_rnn.inter_rnn.{g}")
+                          for g in range(groups)],
+            "inter_fc": [_conv_wb(sd, f"{b}.inter_rnn.inter_fc.{g}")
+                         for g in range(groups)],
+        })
+        stats["dpe_blocks"].append({})
+    params["fullband_decoder"], stats["fullband_decoder"] = [], []
+    for i in range(n_channels):
+        unit: Params = {"conv1": _conv_wb(sd, f"fullband_decoder.{i}.0"),
+                        "convt": _conv_wb(sd, f"fullband_decoder.{i}.1")}
+        st: Params = {}
+        if f"fullband_decoder.{i}.2.running_mean" in sd:
+            bn_p, bn_s = _bn(sd, f"fullband_decoder.{i}.2")
+            unit["bn"] = bn_p
+            st["bn"] = bn_s
+        params["fullband_decoder"].append(unit)
+        stats["fullband_decoder"].append(st)
+    return {"params": params, "stats": stats}
+
+
+def _cln(sd, key: str) -> Params:
+    """CustomLayerNorm gamma/beta [1, C|1, 1, F] -> channels-last [F, C|1]."""
+    g = sd[f"{key}.gamma"]
+    b = sd[f"{key}.beta"]
+    g = jnp.asarray(g).reshape(g.shape[1], g.shape[3]).T
+    b = jnp.asarray(b).reshape(b.shape[1], b.shape[3]).T
+    return {"gamma": g, "beta": b}
+
+
+def convert_lisennet(state_dict, n_blocks: int = 2) -> Params:
+    """LiSenNet baseline (reference: models/lisennet/model.py)."""
+    sd = _to_np(state_dict)
+    P: Params = {}
+
+    def prelu_w(key):
+        return jnp.asarray(sd[f"{key}.weight"])
+
+    P["encoder"] = {
+        "conv_1": {"conv": _conv_wb(sd, "encoder.conv_1.0"),
+                   "norm": _cln(sd, "encoder.conv_1.1"),
+                   "act": prelu_w("encoder.conv_1.2")},
+    }
+    for name in ("conv_2", "conv_3", "conv_4"):
+        P["encoder"][name] = {
+            "low_conv": _conv_wb(sd, f"encoder.{name}.low_conv"),
+            "high_conv": _conv_wb(sd, f"encoder.{name}.high_conv"),
+            "norm": _cln(sd, f"encoder.{name}.norm"),
+            "act": prelu_w(f"encoder.{name}.act"),
+        }
+
+    P["blocks"] = []
+    for i in range(n_blocks):
+        b = f"blocks.{i}"
+        P["blocks"].append({
+            "intra_norm": {
+                "weight": jnp.asarray(sd[f"{b}.dp_rnn_attn.intra_norm.weight"]),
+                "bias": jnp.asarray(sd[f"{b}.dp_rnn_attn.intra_norm.bias"])},
+            "intra_rnn": _bigru(sd, f"{b}.dp_rnn_attn.intra_rnn_attn.rnn"),
+            "intra_fc": _conv_wb(sd, f"{b}.dp_rnn_attn.intra_rnn_attn.dense"),
+            "inter_norm": {
+                "weight": jnp.asarray(sd[f"{b}.dp_rnn_attn.inter_norm.weight"]),
+                "bias": jnp.asarray(sd[f"{b}.dp_rnn_attn.inter_norm.bias"])},
+            "inter_rnn": _gru(sd, f"{b}.dp_rnn_attn.inter_rnn_attn.rnn"),
+            "inter_fc": _conv_wb(sd, f"{b}.dp_rnn_attn.inter_rnn_attn.dense"),
+            "glu": {
+                "norm": _cln(sd, f"{b}.conv_glu.norm"),
+                "fc1": _conv_wb(sd, f"{b}.conv_glu.fc1"),
+                "dwconv": _conv_wb(sd, f"{b}.conv_glu.dwconv"),
+                "fc2": _conv_wb(sd, f"{b}.conv_glu.fc2"),
+            },
+        })
+
+    P["decoder"] = {
+        "mask_conv": {"conv1": _conv_wb(sd, "decoder.mask_conv.0"),
+                      "norm": _cln(sd, "decoder.mask_conv.1"),
+                      "act": prelu_w("decoder.mask_conv.2"),
+                      "conv2": _conv_wb(sd, "decoder.mask_conv.3")},
+        "lsigmoid": {"slope": jnp.asarray(sd["decoder.lsigmoid.slope"])},
+    }
+    for name in ("up1", "up2", "up3"):
+        P["decoder"][name] = {
+            "low_conv": _conv_wb(sd, f"decoder.{name}.low_conv"),
+            "high_conv": _conv_wb(sd, f"decoder.{name}.high_conv.conv"),
+        }
+    return {"params": P, "stats": {}}
+
+
 def convert_checkpoint(
     ckpt_or_state_dict: tp.Mapping[str, tp.Any],
     model_name: str,
@@ -372,6 +544,22 @@ def convert_checkpoint(
     n_enc = len(model_kwargs.get("kernel_size",
                                  model_kwargs.get("kernel_size_freq",
                                                   [8, 3, 3]))) - 1
+    if model_name == "lisennet":
+        return convert_lisennet(sd, n_blocks=model_kwargs.get("n_blocks", 2))
+    if model_name == "fspen":
+        dpe = model_kwargs.get("dpe_kwargs", {})
+        return convert_fspen(
+            sd, num_blocks=dpe.get("num_blocks", 3),
+            groups=dpe.get("groups", 8),
+            n_channels=len(model_kwargs.get("channels", [4, 16, 32])))
+    if model_name == "bsrnn":
+        from ..models.bsrnn import SUBBANDS_512
+
+        return convert_bsrnn(
+            sd, num_layers=model_kwargs.get("num_layers", 6),
+            subbands=SUBBANDS_512,
+            affine=model_kwargs.get("affine", True),
+            bias=model_kwargs.get("bias", True))
     if model_name == "fastenhancer.dptransformer":
         cfg = model_kwargs.get("dpt_kwargs", {})
         return convert_fastenhancer_dpt(
