@@ -498,6 +498,57 @@ def _dns_variant(cfg: Cfg, pesq_bs: int = 16, executors: int = 16) -> Cfg:
 # Build everything
 # ---------------------------------------------------------------------------
 
+def _shard_cfg(train_dataset: str) -> Cfg:
+    """Lhotse-shar pipeline recipe (reference: configs/fastenhancer_shard/
+    t.yaml). Shard dirs are rooted at data/shards/ (reference used absolute
+    home paths)."""
+    cfg = _fe_dns("t")
+    cfg["wrapper"] = "ns_shard"
+    cfg["data"] = deep_merge(DATA_DNS16, {})
+    cfg["data"]["dataset"] = {"train": train_dataset,
+                              "valid": "NoiseSuppression",
+                              "infer": "NoiseSuppression",
+                              "pesq": "NoiseSuppression"}
+    for k in ("reverb_prob", "silence_length", "snr_mixer"):
+        cfg["data"].pop(k, None)
+    cfg["data"]["max_duration"] = 128
+    cfg["data"]["dereverberation"] = {"rir_target_type": "rts",
+                                      "early_rir_sec": 0.05, "t60_max": 0.15}
+    shard_root = "data/shards"
+    cfg["data"]["train"] = {
+        "inputs": {
+            "speech": [{"shard_dir": f"{shard_root}/speech/dns", "weight": 2.0},
+                       {"shard_dir": f"{shard_root}/speech/vctk-train",
+                        "weight": 2.0}],
+            "noise": [{"shard_dir": f"{shard_root}/noise/dns", "weight": 4.0},
+                      {"shard_dir": f"{shard_root}/noise/demand-train",
+                       "weight": 2.0}],
+            "rir": [{"shard_dir": f"{shard_root}/rir/dns-rir", "weight": 1.0}],
+        },
+        "mixer": {"speech_dbFS": [-35.0, -15.0], "snr": [0.0, 20.0],
+                  "seg_rel_threshold": -25.0, "seg_abs_threshold": None},
+        "num_buckets": 30,
+        "max_utt_duration": 20.0,
+        "min_utt_duration": 0.5,
+        "prob_speech_codec": 0.0,
+        "prob_speech_reverb": 0.5,
+        "prob_farend_echo": 0.0,
+        "prob_farend_only": 0.0,
+        "prob_noise": 1.0,
+        "aux_buffer_size": 5000,
+        "sampler_buffer_size": 10000,
+        "shuffle": True,
+        "num_workers": 2,
+        "persistent_workers": True,
+    }
+    if train_dataset == "ShardSegment":
+        cfg["data"]["train"]["segment_size"] = 32000
+    cfg["train"]["steps_per_epoch"] = 1000
+    cfg["train"]["max_epochs"] = 200
+    cfg["train"]["save_interval"] = 10
+    return cfg
+
+
 def build_all() -> tp.Dict[str, Cfg]:
     """relative path (without .yaml) -> config dict."""
     out: tp.Dict[str, Cfg] = {}
@@ -539,6 +590,9 @@ def build_all() -> tp.Dict[str, Cfg]:
     out["others/bsrnn_xxt"] = _bsrnn(16, 2)
     out["others/fspen"] = _fspen()
     out["others/lisennet"] = _lisennet()
+
+    out["fastenhancer_shard/t"] = _shard_cfg("ShardOnTheFly")
+    out["fastenhancer_shard/t_segment"] = _shard_cfg("ShardSegment")
 
     out["others_dns/bsrnn_xt"] = _dns_variant(_bsrnn(16, 6))
     out["others_dns/fspen"] = _dns_variant(_fspen())

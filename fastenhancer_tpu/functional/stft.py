@@ -310,19 +310,28 @@ def istft(spec: Array, cfg: STFTConfig, length: tp.Optional[int] = None) -> Arra
 # ---------------------------------------------------------------------------
 
 def compress(spec: Array, compression: float, eps: float = 1.0e-5) -> Array:
-    """x * |x|^(c-1) on [..., 2] real/imag pairs."""
+    """x * |x|^(c-1) on [..., 2] real/imag pairs.
+
+    The eps clamp happens INSIDE the sqrt (power domain): forward-identical
+    to the reference's clamp(|x|, min=eps), but sqrt'(0)=inf never enters the
+    backward graph (exactly-zero bins appear whenever batches are zero-padded).
+    """
     if compression == 1.0:
         return spec
-    mag = jnp.sqrt(jnp.sum(jnp.square(spec), axis=-1, keepdims=True))
-    mag = jnp.maximum(mag, eps)
+    power = jnp.sum(jnp.square(spec), axis=-1, keepdims=True)
+    mag = jnp.sqrt(jnp.maximum(power, eps * eps))
     return spec * jnp.power(mag, compression - 1.0)
 
 
 def uncompress(spec: Array, compression: float) -> Array:
-    """Inverse of `compress` (no eps clamp, matching the reference inverse)."""
+    """Inverse of `compress`. The reference applies no clamp here; the tiny
+    floor below only guards the sqrt gradient at exactly 0 (forward change
+    ~1e-19, far below float32 noise)."""
     if compression == 1.0:
         return spec
-    mag = jnp.sqrt(jnp.sum(jnp.square(spec), axis=-1, keepdims=True))
+    power = jnp.sum(jnp.square(spec), axis=-1, keepdims=True)
+    # floor must be a NORMAL float32 (subnormals flush to zero -> inf grads)
+    mag = jnp.sqrt(jnp.maximum(power, 1e-30))
     return spec * jnp.power(mag, 1.0 / compression - 1.0)
 
 

@@ -47,9 +47,12 @@ def wav_l1_loss(wav_hat: Array, wav: Array) -> Array:
 
 
 def mag_mse_loss(spec_hat: Array, spec: Array) -> Array:
-    """MSE over magnitudes of [..., 2] re/im specs (reference: losses.py:132-139)."""
-    m1 = jnp.linalg.norm(spec_hat, axis=-1)
-    m2 = jnp.linalg.norm(spec, axis=-1)
+    """MSE over magnitudes of [..., 2] re/im specs (reference: losses.py:132-139).
+
+    sqrt floored (normal-range) so exactly-zero bins (zero-padded batch rows) don't
+    produce inf gradients; forward change is below float32 resolution."""
+    m1 = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(spec_hat), -1), 1e-30))
+    m2 = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(spec), -1), 1e-30))
     return jnp.mean(jnp.square(m1 - m2))
 
 

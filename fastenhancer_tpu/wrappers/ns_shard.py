@@ -1,0 +1,109 @@
+"""Shard-pipeline wrapper: fixed steps/epoch over an infinite shard loader.
+
+Reference: wrappers/ns_shard.py — keys speech/speech_clean/noise(/rir);
+`steps_per_epoch` bounds an epoch (:50); the GPU DynamicMixer runs inside
+the step (:56-57); per-phase wall timers (load/mixer+forward+backward)
+print each step and sum per epoch (:44-114).
+
+TPU form: the mixer is jitted together with the train step (one XLA
+program); batches arrive length-bucketed, so each bucket size compiles once.
+"""
+from __future__ import annotations
+
+import math
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ns import ModelWrapper as BaseModelWrapper
+from ..data.shard_mixer import DynamicMixer
+from ..parallel import pad_batch_to, shard_batch
+from ..utils.terminal import verbose, clear_current_line
+
+
+class ModelWrapper(BaseModelWrapper):
+    def __init__(self, hps, train: bool = False, rank: int = 0, device=None):
+        super().__init__(hps, train, rank, device)
+        mixer_kwargs = hps.data.train.mixer.to_dict() \
+            if "mixer" in hps.data.train else {}
+        if "dereverberation" in hps.data:
+            mixer_kwargs.update(hps.data.dereverberation.to_dict())
+        self.mixer = DynamicMixer(sampling_rate=self.sr, **mixer_kwargs)
+        self.steps_per_epoch: int = getattr(hps.train, "steps_per_epoch", 1000)
+        self._mix_key = jax.random.PRNGKey(
+            getattr(hps.train, "seed", 0) if "train" in hps else 0)
+
+    def set_keys(self) -> None:
+        self.keys = ["speech", "speech_clean", "noise"]
+        self.infer_keys = ["clean", "noisy"]
+
+    def _mix_to_device(self, batch) -> tp.Tuple[tp.Dict[str, jnp.ndarray], int]:
+        """ShardBatch -> mixed {clean, noisy} on device."""
+        arrs = {"speech": batch.speech, "speech_clean": batch.speech_clean}
+        if batch.noise is not None:
+            arrs["noise"] = batch.noise
+        if batch.rir is not None:
+            arrs["rir"] = batch.rir
+            arrs["rir_onset"] = batch.rir_onset
+            arrs["rir_t60"] = batch.rir_t60
+        t = (arrs["speech"].shape[-1] // self.hop_size) * self.hop_size
+        for k in ("speech", "speech_clean", "noise"):
+            if k in arrs:
+                arrs[k] = arrs[k][..., :t]
+        padded, real_b = pad_batch_to(arrs, self.n_devices)
+        dev = shard_batch(padded, self.mesh)
+        self._mix_key, sub = jax.random.split(self._mix_key)
+        mixed = self.mixer(
+            sub, dev["speech"], dev["speech_clean"], dev.get("noise"),
+            dev.get("rir"), dev.get("rir_onset"), dev.get("rir_t60"))
+        return {"clean": mixed["speech_clean"][:, 0],
+                "noisy": mixed["speech"][:, 0]}, real_b
+
+    def train_epoch(self, dataloader) -> tp.Dict[str, tp.Any]:
+        self.loss.initialize()
+        max_items = self.steps_per_epoch
+        pad = int(math.log10(max(max_items, 1))) + 1
+        t_load = t_step = 0.0
+        t0 = time.perf_counter()
+        it = iter(dataloader)
+
+        idx = 0
+        while idx < max_items:
+            t_mark = time.perf_counter()
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(dataloader)  # infinite epoch semantics
+                continue
+            t_load += time.perf_counter() - t_mark
+            idx += 1
+
+            t_mark = time.perf_counter()
+            dev_batch, real_b = self._mix_to_device(batch)
+            self.state, metrics = self.train_step(self.state, dev_batch,
+                                                  self._lrs())
+            per_loss = {k.split("/", 1)[1]: float(v)
+                        for k, v in metrics.items()
+                        if k.startswith("loss/") and k != "loss/total"}
+            t_step += time.perf_counter() - t_mark
+            self.loss.accumulate(per_loss, real_b)
+            if verbose() and idx % self.print_interval == 0:
+                dt = time.perf_counter() - t0
+                print(f"\rEpoch {self.epoch} - Train "
+                      f"{idx:{pad}d}/{max_items}"
+                      f"{self.loss.print()}"
+                      f"  [load {t_load:.1f}s step {t_step:.1f}s"
+                      f" | {int(dt)}/{int(dt / idx * max_items)} sec]",
+                      end="", flush=True)
+            self.scheduler.warmup_step()
+            if self.test and idx >= 50:
+                break
+        if verbose():
+            clear_current_line()
+            print(f"epoch {self.epoch} timing: load {t_load:.1f}s "
+                  f"mix+step {t_step:.1f}s")
+        self.scheduler.step()
+        return {"scalars": self.loss.reduce()}

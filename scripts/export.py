@@ -1,0 +1,117 @@
+"""Deployment path: fold reparameterizations, AOT-compile the streaming
+step, verify streaming==offline, and benchmark per-frame RTF.
+
+Analog of the reference's scripts/export_onnx.py / export_onnx_spec.py
+(:61-195). Instead of an ONNX graph with cache-list plumbing, the TPU deploy
+artifact is (a) a folded parameter pytree (plain conv/linear/GRU weights —
+the same `remove_weight_reparameterizations` math, applied as a pure tree
+transform) and (b) an AOT-compiled jax streaming step whose carry pytree is
+the cache. `jax.export` serializes the compiled step when requested.
+
+    python -m scripts.export -n NAME [--epoch E] [--streams 1]
+        [--test-streaming] [--save PATH] [--seconds 10]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", "--name", required=True)
+    ap.add_argument("--base_dir", default="logs")
+    ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--streams", type=int, default=1,
+                    help="concurrent streams in the compiled step")
+    ap.add_argument("--test-streaming", action="store_true",
+                    help="verify frame-by-frame == offline on a test wav")
+    ap.add_argument("--wav", default="/root/reference/onnx/p232_013.wav")
+    ap.add_argument("--save", default=None,
+                    help="serialize the compiled step via jax.export")
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--no-fold", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastenhancer_tpu.utils.hparams import get_hparams
+    from fastenhancer_tpu.wrappers import get_wrapper
+    from fastenhancer_tpu.data import read_wav
+
+    hps = get_hparams(None, base_dir=os.path.join(args.base_dir, args.name))
+    wrapper = get_wrapper(hps.wrapper)(hps, train=False)
+    if not wrapper.load(args.epoch):
+        raise FileNotFoundError(f"no checkpoint in {hps.base_dir}")
+    model = wrapper.model
+    variables = jax.tree.map(lambda x: x, wrapper.state["variables"],
+                             is_leaf=lambda x: x is None)
+    if not args.no_fold:
+        variables = model.fold(variables)
+        print("folded reparameterizations (weight-norm/BN/pre-norm)")
+
+    hop = model.hop_size
+    b = args.streams
+
+    def step(variables, carry, wav_hop):
+        return model.streaming_step(variables, carry, wav_hop)
+
+    carry0 = model.init_streaming_carry(b)
+    lowered = jax.jit(step).lower(
+        variables, carry0, jnp.zeros((b, hop), jnp.float32))
+    compiled = lowered.compile()
+    print(f"AOT-compiled streaming step: {b} stream(s), hop {hop}")
+
+    if args.save:
+        from jax import export as jexport
+
+        exp = jexport.export(jax.jit(step))(
+            variables, carry0, jnp.zeros((b, hop), jnp.float32))
+        with open(args.save, "wb") as f:
+            f.write(exp.serialize())
+        print(f"serialized compiled step -> {args.save} "
+              f"({os.path.getsize(args.save)} bytes)")
+
+    if args.test_streaming:
+        wav, sr = read_wav(args.wav, sr=hps.data.sampling_rate)
+        t = len(wav) // hop * hop
+        wav = wav[:t][None].astype(np.float32)
+        y_stream = np.asarray(model.stream(
+            variables, jnp.asarray(np.repeat(wav, b, 0))))[0]
+        wav_hat = np.asarray(wrapper.infer_fn(variables, jnp.asarray(wav)))[0]
+        # streaming output is delayed n_fft - hop samples (docs/docs/onnx.md)
+        delay = model.stft_cfg.cache_len if hasattr(model, "stft_cfg") else 0
+        a = y_stream[delay:]
+        c = wav_hat[: len(a)]
+        err = np.mean((a - c) ** 2)
+        sig = np.mean(c ** 2)
+        print(f"streaming vs offline: diff MSE {err:.3e} "
+              f"(SNR {10 * np.log10(sig / max(err, 1e-20)):.1f} dB)")
+
+    # per-frame RTF benchmark (hop-by-hop, honest host sync each frame —
+    # the latency-mode number; bench.py measures the batched-scan throughput)
+    sr = hps.data.sampling_rate
+    n_frames = int(args.seconds * sr) // hop
+    rng = np.random.default_rng(0)
+    hops = jnp.asarray(rng.standard_normal((n_frames, b, hop)), jnp.float32)
+    carry = carry0
+    # warmup
+    carry, out = compiled(variables, carry, hops[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(n_frames):
+        carry, out = compiled(variables, carry, hops[i])
+    acc = float(jnp.sum(out))  # force completion
+    wall = time.perf_counter() - t0
+    rtf = wall / (n_frames * hop / sr)
+    print(f"per-frame streaming: {wall / n_frames * 1e3:.3f} ms/frame, "
+          f"RTF {rtf:.4f} ({b} stream(s); checksum {acc:.3e})")
+
+
+if __name__ == "__main__":
+    main()
