@@ -1,0 +1,124 @@
+"""NSOnTheFly dataset + SNRMixer + DynamicBatchLPF + ns_on_the_fly wrapper."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import yaml
+
+from fastenhancer_tpu.data.audio_io import write_wav
+from fastenhancer_tpu.data.ns_on_the_fly import (
+    NSOnTheFlyDataset, SNRMixer, DynamicBatchLPF,
+)
+from fastenhancer_tpu.utils.hparams import HParams
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def pools(tmp_path_factory):
+    root = tmp_path_factory.mktemp("otf")
+    clean = root / "clean"
+    noise = root / "noise"
+    clean.mkdir()
+    noise.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        t = np.arange(SR + i * 3000) / SR
+        write_wav(str(clean / f"c{i}.wav"),
+                  (0.2 * np.sin(2 * np.pi * (150 + 80 * i) * t)).astype(
+                      np.float32), SR)
+        write_wav(str(noise / f"n{i}.wav"),
+                  (rng.standard_normal(SR // 2 + i * 2000) * 0.1).astype(
+                      np.float32), SR)
+    return str(clean), str(noise)
+
+
+def _hp(pools):
+    clean, noise = pools
+    return HParams(**{
+        "sampling_rate": SR,
+        "silence_length": 0.1,
+        "reverb_prob": 0.0,
+        "snr_mixer": {"segmental_snr": True, "rms_window_size": 0.1,
+                      "activity_threshold": -40, "dataloader_rms": -20,
+                      "snr_range": [-5, 20], "noisy_rms_range": [-25, -10],
+                      "clean_activity_threshold": 0.3,
+                      "noise_activity_threshold": 0.0},
+        "train": {"clean_dir": clean, "noise_dir": noise,
+                  "segment_size": SR, "length": 8},
+    })
+
+
+def test_dataset_synthesizes_fixed_segments(pools):
+    ds = NSOnTheFlyDataset(_hp(pools), keys=["clean", "noise"], mode="train")
+    assert len(ds) == 8
+    item = ds[0]
+    assert item["clean"].shape == (SR,)
+    assert item["noise"].shape == (SR,)
+    assert np.abs(item["clean"]).max() > 0
+
+
+def test_snr_mixer_controls_snr(pools):
+    mixer = SNRMixer(sr=SR, segmental_snr=False, dataloader_rms=-20,
+                     snr_range=[0, 1], noisy_rms_range=[-20, -19])
+    rng = np.random.default_rng(0)
+    target_rms = 10 ** (-20 / 20)
+    clean = jnp.asarray(
+        (rng.standard_normal((2, SR)) * target_rms).astype(np.float32))
+    noise = jnp.asarray(
+        (rng.standard_normal((2, SR)) * target_rms).astype(np.float32))
+    c, n, y = mixer(clean, noise, snr=0, rms_target=-20)
+    # at 0 dB SNR, mixed noise power ~ clean power
+    snr_db = 10 * np.log10(np.mean(np.square(np.asarray(c)))
+                           / np.mean(np.square(np.asarray(n))))
+    assert abs(snr_db) < 1.5, snr_db
+    np.testing.assert_allclose(np.asarray(y), np.asarray(c) + np.asarray(n),
+                               atol=1e-6)
+
+
+def test_dynamic_lpf_removes_high_band():
+    lpf = DynamicBatchLPF(sampling_rate=48_000, kernel_size=127, p_lpf=1.0,
+                          target_sr_list=[8000])
+    rng = np.random.default_rng(0)
+    kernels = lpf.sample_kernels(2, rng)
+    t = np.arange(48_000) / 48_000
+    low = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    high = np.sin(2 * np.pi * 20_000 * t).astype(np.float32)
+    x = jnp.asarray(np.stack([low, high]))
+    y = np.asarray(lpf(x, kernels))
+    # 1 kHz passes (~unit), 20 kHz (above 4k*alpha cutoff) is crushed
+    assert np.std(y[0]) > 0.6 * np.std(low)
+    assert np.std(y[1]) < 0.05 * np.std(high)
+    # identity rows when p_lpf = 0
+    lpf0 = DynamicBatchLPF(sampling_rate=48_000, p_lpf=0.0)
+    k0 = lpf0.sample_kernels(2, rng)
+    y0 = np.asarray(lpf0(x, k0))
+    np.testing.assert_allclose(y0, np.asarray(x), atol=1e-5)
+
+
+def test_ns_on_the_fly_wrapper_smoke(pools, tmp_path):
+    """Two steps of DNS-style on-the-fly training end to end."""
+    from fastenhancer_tpu.wrappers import get_wrapper
+    from fastenhancer_tpu.data import get_dataset_dataloader
+
+    cfg = yaml.safe_load(open("configs/fastenhancer_dns/t.yaml"))
+    cfg["model_kwargs"].update({"channels": 8, "kernel_size": [4, 3]})
+    cfg["model_kwargs"]["rnnformer_kwargs"].update(
+        {"num_blocks": 1, "channels": 8, "freq": 8, "num_heads": 2})
+    clean, noise = pools
+    cfg["data"]["train"].update({"clean_dir": clean, "noise_dir": noise,
+                                 "segment_size": SR, "length": 4})
+    cfg["train"].update({"test": True, "batch_size": 2, "num_workers": 1})
+    cfg["train"]["losses"] = {"si_snr": {"weight": 1.0}}
+    cfg.pop("pesq", None)
+    hps = HParams(**cfg)
+    hps.base_dir = str(tmp_path)
+
+    wrapper = get_wrapper("ns_on_the_fly")(hps, train=True)
+    ds, loader = get_dataset_dataloader(hps, "train", wrapper.keys)
+    ds.shuffle(1)
+    wrapper.epoch = 1
+    summary = wrapper.train_epoch(loader)
+    assert np.isfinite(summary["scalars"]["loss/si_snr"])
