@@ -37,6 +37,13 @@ def parse_args():
     p.add_argument("-f", "--force_save", action="store_true",
                    help="overwrite an existing saved config")
     p.add_argument("--base_dir", default="logs")
+    # multi-host analog of the reference's torchrun launcher
+    # (reference: train_torchrun.py): every host runs the same command with
+    # its own --process_id; jax.distributed wires the DCN mesh.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host training")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
@@ -58,6 +65,11 @@ def main():
 
     import jax
 
+    if args.coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
     print(f"devices: {jax.devices()}")
     wrapper = get_wrapper(hps.wrapper)(hps, train=True)
     wrapper.load()  # resume if a checkpoint exists
