@@ -41,6 +41,9 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", 5 if on_tpu else 2))
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_DTYPE", "bf16")]
+    # frames per scan step: 1 = 16 ms algorithmic latency (pure per-frame),
+    # larger chunks trade latency for throughput (math identical; tested)
+    chunk = int(os.environ.get("BENCH_CHUNK", 1))
 
     sr = 16_000
     model = Model(**FLAGSHIP_KWARGS)
@@ -61,7 +64,7 @@ def main():
 
     @jax.jit
     def bench_fn(v, w):
-        out = model.stream(v, w)
+        out = model.stream(v, w, chunk_frames=chunk)
         return jnp.mean(jnp.abs(out.astype(jnp.float32)))
 
     # compile + warmup (host fetch forces real execution)
@@ -79,7 +82,7 @@ def main():
     print(json.dumps({
         "metric": f"FastEnhancer_B per-stream streaming RTF "
                   f"({streams} concurrent 16kHz streams, {platform}, "
-                  f"{jnp.dtype(dtype).name})",
+                  f"{jnp.dtype(dtype).name}, chunk={chunk})",
         "value": round(rtf, 7),
         "unit": "RTF wall/(audio*streams), lower=better",
         "vs_baseline": round(rtf / 0.002, 4),

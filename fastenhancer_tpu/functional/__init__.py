@@ -8,6 +8,8 @@ from .stft import (
     compressed_istft,
     stft_streaming_step,
     istft_streaming_step,
+    stft_streaming_chunk,
+    istft_streaming_chunk,
     stream_stft,
     stream_istft,
     init_stft_carry,
@@ -24,6 +26,7 @@ __all__ = [
     "STFTConfig", "stft", "istft", "compress", "uncompress",
     "compressed_stft", "compressed_istft",
     "stft_streaming_step", "istft_streaming_step",
+    "stft_streaming_chunk", "istft_streaming_chunk",
     "stream_stft", "stream_istft", "init_stft_carry", "init_istft_carry",
     "make_window", "padded_window", "ola_window_sq_sum",
     "frame_signal", "overlap_add", "get_mask",

@@ -440,6 +440,55 @@ def istft_streaming_step(
     return out.astype(in_dtype), new_carry.astype(in_dtype)
 
 
+def stft_streaming_chunk(
+    x: Array, carry: Array, cfg: STFTConfig
+) -> tp.Tuple[Array, Array]:
+    """Multi-hop analysis: x [B, hop*C] + carry [B, n_fft-hop] ->
+    (spec [B, n_freq, C, 2], new_carry). Identical math to C single-hop
+    steps, but the DFT runs as ONE batched matmul/FFT over all C frames —
+    the throughput form of streaming."""
+    b = x.shape[0]
+    buf = jnp.concatenate([carry, x], axis=1)
+    new_carry = buf[:, -cfg.cache_len:]
+    frames = frame_signal(buf.astype(jnp.float32), cfg.n_fft, cfg.hop_size)
+    if cfg.method == "matmul":
+        spec = jnp.matmul(frames, jnp.asarray(cfg.dft_matrix),
+                          precision=_HIGHEST)
+        re, im = jnp.split(spec, 2, axis=-1)
+    else:
+        z = jnp.fft.rfft(frames * jnp.asarray(cfg.window_f32), axis=-1)
+        re, im = jnp.real(z), jnp.imag(z)
+        if cfg.normalized:
+            s = 1.0 / math.sqrt(cfg.n_fft)
+            re, im = re * s, im * s
+    out = jnp.stack([re, im], axis=-1).swapaxes(1, 2)  # [B, n_freq, C, 2]
+    return out.astype(x.dtype), new_carry
+
+
+def istft_streaming_chunk(
+    spec: Array, carry: Array, cfg: STFTConfig
+) -> tp.Tuple[Array, Array]:
+    """Multi-hop synthesis: spec [B, n_freq, C, 2] + carry [B, n_fft-hop] ->
+    (wav [B, hop*C], new_carry). Same output as C single-hop steps."""
+    b, _, c, _ = spec.shape
+    specf = spec.astype(jnp.float32)
+    re = specf[..., 0].swapaxes(1, 2)  # [B, C, n_freq]
+    im = specf[..., 1].swapaxes(1, 2)
+    if cfg.method == "matmul":
+        frames = jnp.matmul(jnp.concatenate([re, im], axis=-1),
+                            jnp.asarray(cfg.idft_matrix), precision=_HIGHEST)
+    else:
+        frames = jnp.fft.irfft(jax.lax.complex(re, im), n=cfg.n_fft, axis=-1)
+        if cfg.normalized:
+            frames = frames * math.sqrt(cfg.n_fft)
+    frames = frames * jnp.asarray(cfg.synthesis_window)
+    y = overlap_add(frames, cfg.hop_size)  # [B, (C-1)*hop + n_fft]
+    y = y.at[:, : cfg.cache_len].add(carry.astype(jnp.float32))
+    out = y[:, : c * cfg.hop_size]
+    new_carry = y[:, c * cfg.hop_size:]
+    return out.astype(spec.dtype), new_carry.astype(spec.dtype)
+
+
 def stream_stft(x: Array, cfg: STFTConfig) -> Array:
     """Scan `stft_streaming_step` over a [B, hop*T] signal -> [B, n_freq, T, 2].
 

@@ -667,11 +667,49 @@ class Model:
         wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"], self.stft_cfg)
         return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
 
-    def stream(self, variables: Params, wav: Array) -> Array:
-        """Whole-utterance streaming via one lax.scan. wav [B, hop*T] -> [B, hop*T]."""
+    def streaming_chunk(
+        self, variables: Params, carry: Params, wav_chunk: Array
+    ) -> tp.Tuple[Params, Array]:
+        """C hops in, C hops out: identical math to C single-hop steps, but
+        the encoder/decoder/attention run time-batched over the chunk and the
+        GRU scans only the recurrence — the throughput form of streaming.
+        wav_chunk: [B, hop*C]."""
+        from ...functional import stft_streaming_chunk, istft_streaming_chunk
+
+        params, stats = variables["params"], variables["stats"]
+        spec, stft_c = stft_streaming_chunk(wav_chunk, carry["stft"],
+                                            self.stft_cfg)
+        spec = compress(spec[:, :-1], self.input_compression)  # [B,F,C,2]
+        mask, h_t, _ = self.model_forward(params, stats, spec, h0=carry["h"],
+                                          train=False)
+        spec_hat = self.complex_mask_mul(spec, mask)
+        spec_hat = uncompress(spec_hat, self.input_compression)
+        pad = jnp.zeros_like(spec_hat[:, :1])
+        spec_hat = jnp.concatenate([spec_hat, pad], axis=1)
+        wav_out, istft_c = istft_streaming_chunk(spec_hat, carry["istft"],
+                                                 self.stft_cfg)
+        return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
+
+    def stream(self, variables: Params, wav: Array,
+               chunk_frames: int = 1) -> Array:
+        """Whole-utterance streaming via one lax.scan over frames (or
+        chunk_frames-sized blocks). wav [B, hop*T] -> [B, hop*T]."""
         b, length = wav.shape
-        t = length // self.hop_size
-        hops = wav[:, : t * self.hop_size].reshape(b, t, self.hop_size).swapaxes(0, 1)
+        hop = self.hop_size
+        t = length // hop
+        if chunk_frames > 1:
+            t = (t // chunk_frames) * chunk_frames
+            blocks = wav[:, : t * hop].reshape(
+                b, t // chunk_frames, hop * chunk_frames).swapaxes(0, 1)
+
+            def cstep(carry, x):
+                carry, y = self.streaming_chunk(variables, carry, x)
+                return carry, y
+
+            _, outs = jax.lax.scan(
+                cstep, self.init_streaming_carry(b, wav.dtype), blocks)
+            return outs.swapaxes(0, 1).reshape(b, -1)
+        hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
 
         def step(carry, x):
             carry, y = self.streaming_step(variables, carry, x)

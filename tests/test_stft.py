@@ -172,3 +172,61 @@ def test_stft_jit_and_grad():
 
     g = jax.grad(f)(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_chunked_streaming_equals_per_frame():
+    """stft/istft chunk transforms == per-hop streaming."""
+    import jax.numpy as jnp
+    from fastenhancer_tpu.functional import (
+        STFTConfig, stft_streaming_chunk, istft_streaming_chunk,
+        stft_streaming_step, istft_streaming_step, init_stft_carry,
+        init_istft_carry, stream_stft,
+    )
+
+    cfg = STFTConfig(n_fft=256, hop_size=128)
+    rng = np.random.default_rng(0)
+    b, c = 2, 4
+    wav = jnp.asarray(rng.standard_normal((b, 128 * 12)).astype(np.float32))
+
+    # analysis: 3 chunks of 4 hops vs 12 single hops
+    carry = init_stft_carry(cfg, b)
+    specs_chunk = []
+    for i in range(3):
+        s, carry = stft_streaming_chunk(wav[:, i * 512:(i + 1) * 512], carry,
+                                        cfg)
+        specs_chunk.append(s)
+    spec_chunked = jnp.concatenate(specs_chunk, axis=2)
+    spec_steps = stream_stft(wav, cfg)
+    np.testing.assert_allclose(np.asarray(spec_chunked),
+                               np.asarray(spec_steps), atol=1e-5)
+
+    # synthesis
+    carry_c = init_istft_carry(cfg, b)
+    carry_s = init_istft_carry(cfg, b)
+    outs_c, outs_s = [], []
+    for i in range(3):
+        y, carry_c = istft_streaming_chunk(spec_chunked[:, :, i * 4:(i + 1) * 4],
+                                           carry_c, cfg)
+        outs_c.append(y)
+    for t in range(12):
+        y, carry_s = istft_streaming_step(spec_steps[:, :, t], carry_s, cfg)
+        outs_s.append(y)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs_c, 1)),
+        np.asarray(jnp.concatenate(outs_s, 1)), atol=1e-5)
+
+
+def test_model_chunked_stream_equals_per_frame():
+    from fastenhancer_tpu.models import get_model
+
+    model = get_model("fastenhancer.default", channels=8, kernel_size=[4, 3],
+                      stride=4,
+                      rnnformer_kwargs=dict(num_blocks=1, channels=8, freq=8,
+                                            num_heads=2),
+                      n_fft=64, hop_size=32, win_size=64)
+    variables = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 32 * 24)).astype(np.float32) * 0.1)
+    y1 = np.asarray(model.stream(variables, wav))
+    y8 = np.asarray(model.stream(variables, wav, chunk_frames=8))
+    np.testing.assert_allclose(y8, y1, atol=1e-4)
