@@ -169,14 +169,29 @@ class Model(DefaultModel):
             logits = logits.astype(jnp.float32) + band
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
             out = jnp.einsum("bhts,bhsc->bhtc", probs, v)
-        else:
-            # streaming, t == 1
+        elif t == 1:
+            # per-frame streaming
             k = jnp.concatenate([carry["k"], k], axis=2)  # [BF, NH, L+1, C']
             v = jnp.concatenate([carry["v"], v], axis=2)
             logits = jnp.sum(q * k, axis=3) * scale       # [BF, NH, L+1]
             logits = logits.astype(jnp.float32) + pe.astype(jnp.float32)
             probs = jax.nn.softmax(logits, axis=2).astype(x.dtype)
             out = jnp.einsum("bhs,bhsc->bhc", probs, v)[:, :, None, :]
+        else:
+            # chunked streaming: queries at global positions L..L+T-1 attend
+            # to [cached L, chunk T] keys within the lookbehind band
+            k = jnp.concatenate([carry["k"], k], axis=2)  # [BF, NH, L+T, C']
+            v = jnp.concatenate([carry["v"], v], axis=2)
+            qi = jax.lax.broadcasted_iota(jnp.int32, (t, L + t), 0) + L
+            kj = jax.lax.broadcasted_iota(jnp.int32, (t, L + t), 1)
+            diff = qi - kj
+            valid = (diff >= 0) & (diff <= L)
+            idx = jnp.clip(L - diff, 0, L)
+            band = jnp.where(valid, pe[:, idx], -jnp.inf)  # [NH, T, L+T]
+            logits = jnp.einsum("bhtc,bhsc->bhts", q, k) * scale
+            logits = logits.astype(jnp.float32) + band
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhts,bhsc->bhtc", probs, v)
         new_carry = {"k": k[:, :, -L:, :], "v": v[:, :, -L:, :]}
         out = out.transpose(0, 2, 1, 3).reshape(bf, t, c)
         return out, new_carry

@@ -158,6 +158,11 @@ class ModelWrapper:
             clear_current_line()
         self.scheduler.step()
         summary["scalars"] = self.loss.reduce()
+        if self.plot_param_and_grad:
+            from ..utils.summarize import plot_param_and_grad
+
+            plot_param_and_grad(summary["hists"],
+                                self.state["variables"]["params"])
         return summary
 
     def valid_epoch(self, dataloader, calculate_metrics: bool = False
@@ -217,6 +222,10 @@ class ModelWrapper:
             spec = np.asarray(_stft_fn(jnp.asarray(wav_hat[:1]), cfg))
             mag = np.sqrt((spec ** 2).sum(-1))[0]
             summary["specs"][f"enhanced/{name}"] = np.log10(mag + 1e-5)
+            from ..functional import spec_to_mel
+
+            summary["specs"][f"enhanced_mel/{name}"] = spec_to_mel(
+                mag, sr=self.sr)
             sisdrs.append(sisdr(wav_hat[0, :t], clean[0, :t]))
         summary["scalars"]["infer/sisdr"] = float(np.mean(sisdrs))
         return summary

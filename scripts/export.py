@@ -67,14 +67,22 @@ def main():
     print(f"AOT-compiled streaming step: {b} stream(s), hop {hop}")
 
     if args.save:
+        import pickle
+
         from jax import export as jexport
 
         exp = jexport.export(jax.jit(step))(
             variables, carry0, jnp.zeros((b, hop), jnp.float32))
         with open(args.save, "wb") as f:
             f.write(exp.serialize())
+        host = jax.tree.map(
+            lambda x: None if x is None else np.asarray(x),
+            (variables, carry0), is_leaf=lambda x: x is None)
+        with open(args.save + ".params.pkl", "wb") as f:
+            pickle.dump(host, f)
         print(f"serialized compiled step -> {args.save} "
-              f"({os.path.getsize(args.save)} bytes)")
+              f"({os.path.getsize(args.save)} bytes) "
+              f"+ {args.save}.params.pkl")
 
     if args.test_streaming:
         wav, sr = read_wav(args.wav, sr=hps.data.sampling_rate)

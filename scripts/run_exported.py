@@ -1,0 +1,67 @@
+"""Run a serialized streaming step (deployment runner).
+
+Analog of the reference's torch-free ONNX runners (scripts/test_onnx.py:
+16-51): load the jax.export artifact written by `scripts/export.py --save`,
+zero-initialize the carry from the artifact's input signature, stream a wav
+hop by hop with cache feedback, and report RTF. No model code or checkpoint
+needed — only the artifact.
+
+    python -m scripts.run_exported step.jaxexport --params params.pkl \
+        -i in.wav -o out.wav
+"""
+import argparse
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifact")
+    ap.add_argument("--params", required=True,
+                    help="pickled (variables, carry0) from scripts.export")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--sr", type=int, default=16000)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    from jax import export as jexport
+
+    from fastenhancer_tpu.data import read_wav, write_wav
+
+    with open(args.artifact, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    with open(args.params, "rb") as f:
+        variables, carry = pickle.load(f)
+    variables = jax.tree.map(
+        lambda x: None if x is None else jax.numpy.asarray(x), variables,
+        is_leaf=lambda x: x is None)
+    carry = jax.tree.map(jax.numpy.asarray, carry)
+
+    # hop size from the wav input's signature (last arg, [B, hop])
+    hop = exp.in_avals[-1].shape[-1]
+    wav, _ = read_wav(args.input, sr=args.sr)
+    t = len(wav) // hop * hop
+    hops = wav[:t].reshape(-1, 1, hop).astype(np.float32)
+
+    call = exp.call
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(hops.shape[0]):
+        carry, y = call(variables, carry, jax.numpy.asarray(hops[i]))
+        outs.append(np.asarray(y)[0])
+    wall = time.perf_counter() - t0
+    out = np.concatenate(outs)
+    write_wav(args.output, out, args.sr)
+    rtf = wall / (t / args.sr)
+    print(f"streamed {t / args.sr:.1f}s in {wall:.2f}s (RTF {rtf:.4f}) "
+          f"-> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,19 @@ def test_dpt_parity_after_fold():
         t_wav, _ = tmodel(torch.from_numpy(wav))
     j_wav, _, _ = model.forward(folded, jnp.asarray(wav), train=False)
     np.testing.assert_allclose(np.asarray(j_wav), t_wav.numpy(), atol=2e-4)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("fastenhancer.dptransformer", DPT_KWARGS),
+    ("fastenhancer.time_kernel", TK_KWARGS),
+    ("fastenhancer.dprnn", None),
+])
+def test_chunked_stream_equals_per_frame(name, kwargs):
+    if kwargs is None:
+        from test_model_variants import DPRNN_KWARGS as kwargs  # noqa: N811
+    model = get_model(name, **kwargs)
+    variables = model.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(_rand_wav(2, 256 * 16))
+    y1 = np.asarray(model.stream(variables, wav))
+    y4 = np.asarray(model.stream(variables, wav, chunk_frames=4))
+    np.testing.assert_allclose(y4, y1, atol=1e-4)
