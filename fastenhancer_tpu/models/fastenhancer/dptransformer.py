@@ -24,7 +24,7 @@ from ... import nn as fnn
 from .default import Model as DefaultModel, Params, Array, fold_fc_bn, \
     positional_embedding
 from .noncausal import hz_grid_linear_weights
-from .dprnn import mel_fbank_weights
+from ...functional.mel import mel_fbank_weights
 
 
 @dataclasses.dataclass
@@ -41,15 +41,19 @@ class DPTConfig:
     pre_norm: bool = False
 
 
-def banded_bias(pe: Array, t: int, lookbehind: int) -> Array:
-    """pe [NH, L+1] -> additive mask [NH, T, T]: entry (i, j) = pe[L-(i-j)]
-    for 0 <= i-j <= L else -inf (reference expand_attn_map, :151-171)."""
-    ti = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-    tj = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+def banded_bias(pe: Array, tq: int, tk: int, lookbehind: int,
+                q_offset: int = 0) -> Array:
+    """pe [NH, L+1] -> additive mask [NH, tq, tk]: query i (at global
+    position i + q_offset) sees key j iff 0 <= (i + q_offset) - j <= L, with
+    bias pe[L - diff] (reference expand_attn_map, :151-171). Offline uses
+    (t, t, 0); chunked streaming uses (t, L+t, L) so queries start after the
+    cached keys."""
+    ti = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0) + q_offset
+    tj = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
     d = ti - tj
     valid = (d >= 0) & (d <= lookbehind)
     idx = jnp.clip(lookbehind - d, 0, lookbehind)
-    band = pe[:, idx]  # [NH, T, T]
+    band = pe[:, idx]  # [NH, tq, tk]
     return jnp.where(valid, band, -jnp.inf)
 
 
@@ -164,7 +168,7 @@ class Model(DefaultModel):
         scale = 1.0 / jnp.sqrt(jnp.asarray(d, x.dtype))
         L = cfg.lookbehind
         if carry is None:
-            band = banded_bias(pe.astype(jnp.float32), t, L)
+            band = banded_bias(pe.astype(jnp.float32), t, t, L)
             logits = jnp.einsum("bhtc,bhsc->bhts", q, k) * scale
             logits = logits.astype(jnp.float32) + band
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
@@ -182,12 +186,8 @@ class Model(DefaultModel):
             # to [cached L, chunk T] keys within the lookbehind band
             k = jnp.concatenate([carry["k"], k], axis=2)  # [BF, NH, L+T, C']
             v = jnp.concatenate([carry["v"], v], axis=2)
-            qi = jax.lax.broadcasted_iota(jnp.int32, (t, L + t), 0) + L
-            kj = jax.lax.broadcasted_iota(jnp.int32, (t, L + t), 1)
-            diff = qi - kj
-            valid = (diff >= 0) & (diff <= L)
-            idx = jnp.clip(L - diff, 0, L)
-            band = jnp.where(valid, pe[:, idx], -jnp.inf)  # [NH, T, L+T]
+            band = banded_bias(pe.astype(jnp.float32), t, L + t, L,
+                               q_offset=L)
             logits = jnp.einsum("bhtc,bhsc->bhts", q, k) * scale
             logits = logits.astype(jnp.float32) + band
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)

@@ -55,7 +55,7 @@ class Model(DefaultModel):
             # ln shares the absolute-Hz-grid filterbank with dprnn
             # (reference: models/fastenhancer/ln/model.py:295-350)
             from .noncausal import hz_grid_linear_weights
-            from .dprnn import mel_fbank_weights
+            from ...functional.mel import mel_fbank_weights
 
             if self.pre_post_init.startswith("mel"):
                 pre_w, post_w = mel_fbank_weights(self.freq, self.rf.freq,

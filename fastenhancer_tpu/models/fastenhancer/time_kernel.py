@@ -70,7 +70,7 @@ class Model(DefaultModel):
             # ablations share the absolute-Hz-grid filterbank
             # (reference: models/fastenhancer/time_kernel/model.py:440-500)
             from .noncausal import hz_grid_linear_weights
-            from .dprnn import mel_fbank_weights
+            from ...functional.mel import mel_fbank_weights
 
             if self.pre_post_init.startswith("mel"):
                 pre_w, post_w = mel_fbank_weights(self.freq, self.rf.freq,

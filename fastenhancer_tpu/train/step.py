@@ -46,6 +46,7 @@ def make_train_step(
     clip_grad_kwargs: tp.Optional[tp.Mapping[str, tp.Any]] = None,
     compute_dtype: tp.Optional[tp.Any] = None,
     donate: bool = True,
+    return_grads: bool = False,
 ):
     """Build the jitted train step.
 
@@ -93,6 +94,8 @@ def make_train_step(
         }
         metrics = {"loss/total": total, "grad_norm": gnorm,
                    **{f"loss/{k}": v for k, v in per_loss.items()}}
+        if return_grads:  # for train.plot_param_and_grad histograms
+            metrics["grads"] = grads
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

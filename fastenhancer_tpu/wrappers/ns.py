@@ -81,7 +81,8 @@ class ModelWrapper:
                 self.model, self.loss, self.optim,
                 clip_grad=getattr(hp, "clip_grad", None),
                 clip_grad_kwargs=getattr(hp, "clip_grad_kwargs", None),
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                return_grads=self.plot_param_and_grad)
             self.valid_step = make_valid_step(self.model, self.loss,
                                               self.compute_dtype)
             self.state = {
@@ -136,10 +137,12 @@ class ModelWrapper:
         summary: tp.Dict[str, tp.Any] = {"scalars": {}, "hists": {}}
         t0 = time.perf_counter()
 
+        last_grads = None
         for idx, batch in enumerate(dataloader, start=1):
             dev_batch, real_b = self._device_batch(batch, ("clean", "noisy"))
             self.state, metrics = self.train_step(self.state, dev_batch,
                                                   self._lrs())
+            last_grads = metrics.pop("grads", None)
             per_loss = {k.split("/", 1)[1]: float(v)
                         for k, v in metrics.items() if k.startswith("loss/")
                         and k != "loss/total"}
@@ -162,7 +165,8 @@ class ModelWrapper:
             from ..utils.summarize import plot_param_and_grad
 
             plot_param_and_grad(summary["hists"],
-                                self.state["variables"]["params"])
+                                self.state["variables"]["params"],
+                                grads=last_grads)
         return summary
 
     def valid_epoch(self, dataloader, calculate_metrics: bool = False

@@ -79,7 +79,7 @@ def main():
             lambda x: None if x is None else np.asarray(x),
             (variables, carry0), is_leaf=lambda x: x is None)
         with open(args.save + ".params.pkl", "wb") as f:
-            pickle.dump(host, f)
+            pickle.dump((*host, hps.data.sampling_rate), f)
         print(f"serialized compiled step -> {args.save} "
               f"({os.path.getsize(args.save)} bytes) "
               f"+ {args.save}.params.pkl")

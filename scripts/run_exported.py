@@ -25,7 +25,8 @@ def main():
                     help="pickled (variables, carry0) from scripts.export")
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("-o", "--output", required=True)
-    ap.add_argument("--sr", type=int, default=16000)
+    ap.add_argument("--sr", type=int, default=16000,
+                    help="fallback rate for pre-rate params pickles")
     args = ap.parse_args()
 
     import numpy as np
@@ -37,17 +38,24 @@ def main():
     with open(args.artifact, "rb") as f:
         exp = jexport.deserialize(f.read())
     with open(args.params, "rb") as f:
-        variables, carry = pickle.load(f)
+        payload = pickle.load(f)
+    if len(payload) == 3:
+        variables, carry, sr = payload
+    else:  # older pickles without the rate
+        variables, carry = payload
+        sr = args.sr
     variables = jax.tree.map(
         lambda x: None if x is None else jax.numpy.asarray(x), variables,
         is_leaf=lambda x: x is None)
     carry = jax.tree.map(jax.numpy.asarray, carry)
 
-    # hop size from the wav input's signature (last arg, [B, hop])
-    hop = exp.in_avals[-1].shape[-1]
-    wav, _ = read_wav(args.input, sr=args.sr)
+    # batch and hop size from the wav input's signature ([B, hop])
+    b, hop = exp.in_avals[-1].shape
+    wav, _ = read_wav(args.input, sr=sr)
     t = len(wav) // hop * hop
-    hops = wav[:t].reshape(-1, 1, hop).astype(np.float32)
+    # the artifact is compiled for B streams; replicate the mono input
+    hops = np.broadcast_to(
+        wav[:t].reshape(-1, 1, hop), (t // hop, b, hop)).astype(np.float32)
 
     call = exp.call
     outs = []
@@ -57,8 +65,8 @@ def main():
         outs.append(np.asarray(y)[0])
     wall = time.perf_counter() - t0
     out = np.concatenate(outs)
-    write_wav(args.output, out, args.sr)
-    rtf = wall / (t / args.sr)
+    write_wav(args.output, out, sr)
+    rtf = wall / (t / sr)
     print(f"streamed {t / args.sr:.1f}s in {wall:.2f}s (RTF {rtf:.4f}) "
           f"-> {args.output}")
 

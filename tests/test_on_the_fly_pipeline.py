@@ -122,3 +122,46 @@ def test_ns_on_the_fly_wrapper_smoke(pools, tmp_path):
     wrapper.epoch = 1
     summary = wrapper.train_epoch(loader)
     assert np.isfinite(summary["scalars"]["loss/si_snr"])
+
+
+def test_48khz_wrapper_with_dynamic_lpf(tmp_path):
+    """fastenhancer_48khz recipe: on-the-fly synthesis + per-item sinc LPF."""
+    from fastenhancer_tpu.wrappers import get_wrapper
+    from fastenhancer_tpu.data import get_dataset_dataloader
+
+    sr48 = 48000
+    clean = tmp_path / "clean48"
+    noise = tmp_path / "noise48"
+    clean.mkdir()
+    noise.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        t = np.arange(sr48) / sr48
+        write_wav(str(clean / f"c{i}.wav"),
+                  (0.2 * np.sin(2 * np.pi * (200 + 100 * i) * t)).astype(
+                      np.float32), sr48)
+        write_wav(str(noise / f"n{i}.wav"),
+                  (rng.standard_normal(sr48 // 2) * 0.1).astype(np.float32),
+                  sr48)
+
+    cfg = yaml.safe_load(open("configs/fastenhancer_48khz/t.yaml"))
+    cfg["model_kwargs"].update({"channels": 8, "kernel_size": [4, 3]})
+    cfg["model_kwargs"]["rnnformer_kwargs"].update(
+        {"num_blocks": 1, "channels": 8, "freq": 8, "num_heads": 2})
+    cfg["data"]["train"].update({"clean_dir": str(clean),
+                                 "noise_dir": str(noise),
+                                 "segment_size": sr48, "length": 4})
+    cfg["data"]["dynamic_lpf"]["p_lpf"] = 1.0  # force the LPF path
+    cfg["train"].update({"test": True, "batch_size": 2, "num_workers": 1})
+    cfg["train"]["losses"] = {"si_snr": {"weight": 1.0}}
+    cfg.pop("pesq", None)
+    hps = HParams(**cfg)
+    hps.base_dir = str(tmp_path)
+
+    wrapper = get_wrapper("ns_on_the_fly")(hps, train=True)
+    assert wrapper.dynamic_lpf.p_lpf == 1.0
+    ds, loader = get_dataset_dataloader(hps, "train", wrapper.keys)
+    ds.shuffle(0)
+    wrapper.epoch = 1
+    summary = wrapper.train_epoch(loader)
+    assert np.isfinite(summary["scalars"]["loss/si_snr"])
