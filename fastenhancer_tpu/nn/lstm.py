@@ -68,7 +68,7 @@ def lstm(
         h, c = lstm_cell(xp, h, c, w_hh, b_hh)
         return (h, c), h
 
-    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), x_proj)
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), x_proj, unroll=8)
     return ys, (h_t, c_t)
 
 
