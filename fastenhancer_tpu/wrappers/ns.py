@@ -54,6 +54,7 @@ class ModelWrapper:
         self.state: tp.Dict[str, tp.Any] = {"variables": self.variables}
         self.metrics: tp.Optional[Metrics] = None
         self.scheduler = None
+        self.test = False
 
         if train:
             hp = hps.train

@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fastenhancer_tpu.utils.platform import honor_jax_platforms
+
+honor_jax_platforms()
+
 
 def main():
     ap = argparse.ArgumentParser()

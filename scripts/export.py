@@ -18,6 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fastenhancer_tpu.utils.platform import honor_jax_platforms
+
+honor_jax_platforms()
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -33,6 +37,10 @@ def main():
                     help="serialize the compiled step via jax.export")
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--no-fold", action="store_true")
+    ap.add_argument("--spec2spec", action="store_true",
+                    help="compile the spec-in/spec-out step (STFT outside), "
+                         "the form the paper's RTFs use "
+                         "(reference: scripts/export_onnx_spec.py)")
     args = ap.parse_args()
 
     import jax
@@ -57,22 +65,38 @@ def main():
     hop = model.hop_size
     b = args.streams
 
-    def step(variables, carry, wav_hop):
-        return model.streaming_step(variables, carry, wav_hop)
+    if args.spec2spec:
+        from fastenhancer_tpu.functional import compress, uncompress
 
-    carry0 = model.init_streaming_carry(b)
-    lowered = jax.jit(step).lower(
-        variables, carry0, jnp.zeros((b, hop), jnp.float32))
+        n_freq_in = model.stft_cfg.n_freq - 1  # fastenhancer drops last bin
+
+        def step(variables, carry, spec):
+            # spec [B, F, 1, 2] compressed; returns enhanced compressed spec
+            params, stats = variables["params"], variables["stats"]
+            mask, h_t, _ = model.model_forward(params, stats, spec,
+                                               h0=carry["h"], train=False)
+            spec_hat = model.complex_mask_mul(spec, mask)
+            return dict(carry, h=h_t), spec_hat
+
+        carry0 = model.init_streaming_carry(b)
+        feed = jnp.zeros((b, n_freq_in, 1, 2), jnp.float32)
+    else:
+        def step(variables, carry, wav_hop):
+            return model.streaming_step(variables, carry, wav_hop)
+
+        carry0 = model.init_streaming_carry(b)
+        feed = jnp.zeros((b, hop), jnp.float32)
+    lowered = jax.jit(step).lower(variables, carry0, feed)
     compiled = lowered.compile()
-    print(f"AOT-compiled streaming step: {b} stream(s), hop {hop}")
+    print(f"AOT-compiled {'spec2spec' if args.spec2spec else 'wav2wav'} "
+          f"streaming step: {b} stream(s), hop {hop}")
 
     if args.save:
         import pickle
 
         from jax import export as jexport
 
-        exp = jexport.export(jax.jit(step))(
-            variables, carry0, jnp.zeros((b, hop), jnp.float32))
+        exp = jexport.export(jax.jit(step))(variables, carry0, feed)
         with open(args.save, "wb") as f:
             f.write(exp.serialize())
         host = jax.tree.map(
@@ -105,7 +129,8 @@ def main():
     sr = hps.data.sampling_rate
     n_frames = int(args.seconds * sr) // hop
     rng = np.random.default_rng(0)
-    hops = jnp.asarray(rng.standard_normal((n_frames, b, hop)), jnp.float32)
+    hops = jnp.asarray(
+        rng.standard_normal((n_frames,) + tuple(feed.shape)), jnp.float32)
     carry = carry0
     # warmup
     carry, out = compiled(variables, carry, hops[0])
