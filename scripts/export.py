@@ -109,7 +109,15 @@ def main():
               f"+ {args.save}.params.pkl")
 
     if args.test_streaming:
-        wav, sr = read_wav(args.wav, sr=hps.data.sampling_rate)
+        if os.path.exists(args.wav):
+            wav, sr = read_wav(args.wav, sr=hps.data.sampling_rate)
+        else:  # no bundled corpus: synthesize a speech-like test signal
+            sr = hps.data.sampling_rate
+            tt = np.arange(4 * sr) / sr
+            wav = sum(0.1 * np.sin(2 * np.pi * f * tt)
+                      for f in (220, 440, 880, 1760))
+            wav = (wav * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * tt))
+                   ).astype(np.float32)
         t = len(wav) // hop * hop
         wav = wav[:t][None].astype(np.float32)
         y_stream = np.asarray(model.stream(
