@@ -398,11 +398,41 @@ class Model:
                                                 self.stft_cfg)
         return {"stft": stft_c, "istft": istft_c, "h": h_out}, wav_out
 
-    def stream(self, variables: Params, wav: Array) -> Array:
+    def streaming_chunk(self, variables: Params, carry: Params,
+                        wav_chunk: Array) -> tp.Tuple[Params, Array]:
+        """C hops in/out — identical math to C single-hop steps with the
+        network time-batched over the chunk (throughput streaming form)."""
+        from ..functional import stft_streaming_chunk, istft_streaming_chunk
+
+        params, stats = variables["params"], variables["stats"]
+        spec, stft_c = stft_streaming_chunk(wav_chunk, carry["stft"],
+                                            self.stft_cfg)
+        spec = compress(spec, self.input_compression)  # [B, F, C, 2]
+        spec_hat, h_out, _ = self.model_forward(params, stats, spec,
+                                                h0=carry["h"], train=False)
+        spec_hat = uncompress(spec_hat, self.input_compression)
+        wav_out, istft_c = istft_streaming_chunk(spec_hat, carry["istft"],
+                                                 self.stft_cfg)
+        return {"stft": stft_c, "istft": istft_c, "h": h_out}, wav_out
+
+    def stream(self, variables: Params, wav: Array,
+               chunk_frames: int = 1) -> Array:
         b, length = wav.shape
-        t = length // self.hop_size
-        hops = wav[:, : t * self.hop_size].reshape(b, t, self.hop_size)
-        hops = hops.swapaxes(0, 1)
+        hop = self.hop_size
+        t = length // hop
+        if chunk_frames > 1:
+            t = (t // chunk_frames) * chunk_frames
+            blocks = wav[:, : t * hop].reshape(
+                b, t // chunk_frames, hop * chunk_frames).swapaxes(0, 1)
+
+            def cstep(carry, x):
+                carry, y = self.streaming_chunk(variables, carry, x)
+                return carry, y
+
+            _, outs = jax.lax.scan(
+                cstep, self.init_streaming_carry(b, wav.dtype), blocks)
+            return outs.swapaxes(0, 1).reshape(b, -1)
+        hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
 
         def step(carry, x):
             carry, y = self.streaming_step(variables, carry, x)

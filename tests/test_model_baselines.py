@@ -148,3 +148,13 @@ def test_parity_after_fold(name, kwargs):
         t_wav, _ = tmodel(torch.from_numpy(wav))
     j_wav, _, _ = model.forward(folded, jnp.asarray(wav), train=False)
     np.testing.assert_allclose(np.asarray(j_wav), t_wav.numpy(), atol=3e-4)
+
+
+@pytest.mark.parametrize("name,kwargs", ALL)
+def test_chunked_stream_equals_per_frame(name, kwargs):
+    model = get_model(name, **kwargs)
+    variables = model.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(_rand_wav(1, 256 * 12))
+    y1 = np.asarray(model.stream(variables, wav))
+    y4 = np.asarray(model.stream(variables, wav, chunk_frames=4))
+    np.testing.assert_allclose(y4, y1, atol=1e-4)
