@@ -81,3 +81,57 @@ def estimate_t60(rir: np.ndarray, sr: int = 16_000) -> float:
     if slope >= 0:
         return 0.5
     return float(-60.0 / slope / sr)
+
+
+def vad_segments(
+    audio: np.ndarray,
+    sr: int = 16_000,
+    frame_ms: float = 32.0,
+    threshold_db: float = -35.0,
+    min_speech_sec: float = 0.5,
+    max_gap_sec: float = 0.5,
+    pad_sec: float = 0.2,
+) -> list:
+    """Energy-VAD segmentation of a long recording into utterances.
+
+    Analog of the reference's segment_daps.py / segment_ears.py (:1-5),
+    which split studio recordings with VAD before sharding. Frames whose
+    power exceeds `threshold_db` relative to the recording's active RMS are
+    speech; runs separated by gaps <= max_gap_sec are merged; segments
+    shorter than min_speech_sec are dropped; boundaries are padded by
+    pad_sec. Returns [(start_sample, end_sample), ...].
+    """
+    frame = max(int(sr * frame_ms / 1000), 1)
+    n = len(audio) // frame
+    if n == 0:
+        return []
+    pow_f = (audio[: n * frame].reshape(n, frame) ** 2).mean(axis=1)
+    ref = active_rms_relative(audio, sr=sr) ** 2
+    active = pow_f > ref * (10.0 ** (threshold_db / 10.0))
+
+    segs = []
+    start = None
+    gap_frames = int(max_gap_sec * sr / frame)
+    silent = 0
+    for i, a in enumerate(active):
+        if a:
+            if start is None:
+                start = i
+            silent = 0
+        elif start is not None:
+            silent += 1
+            if silent > gap_frames:
+                segs.append((start, i - silent + 1))
+                start = None
+                silent = 0
+    if start is not None:
+        segs.append((start, n))
+
+    pad = int(pad_sec * sr)
+    out = []
+    for s, e in segs:
+        s0, e0 = s * frame, e * frame
+        if (e0 - s0) / sr < min_speech_sec:
+            continue
+        out.append((max(s0 - pad, 0), min(e0 + pad, len(audio))))
+    return out

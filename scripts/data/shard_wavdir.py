@@ -8,7 +8,8 @@ environment has no flac encoder; the reader accepts flac when soundfile is
 installed).
 
     python -m scripts.data.shard_wavdir -i WAV_DIR -o SHARD_DIR \
-        [--sr 16000] [--shard-size 1000] [--kind speech|noise|rir]
+        [--sr 16000] [--shard-size 1000] [--kind speech|noise|rir] \
+        [--segment]   # VAD-split long recordings into utterance cuts
 """
 import argparse
 import gzip
@@ -46,10 +47,15 @@ def main():
                     choices=["speech", "noise", "rir"],
                     help="rir shards get onset/t60 metadata "
                          "(reference: scripts/data/shard_dns_rir.py)")
+    ap.add_argument("--segment", action="store_true",
+                    help="energy-VAD split each file into utterance cuts "
+                         "(reference: scripts/data/segment_daps.py)")
+    ap.add_argument("--min-speech-sec", type=float, default=0.5)
     args = ap.parse_args()
 
     from fastenhancer_tpu.data.audio_io import read_wav
-    from scripts.audiolib import find_rir_onset_spectral, estimate_t60
+    from scripts.audiolib import (find_rir_onset_spectral, estimate_t60,
+                                  vad_segments)
 
     files = []
     for dirpath, _, names in os.walk(args.input_dir):
@@ -82,22 +88,33 @@ def main():
             tar = tarfile.open(os.path.join(
                 args.output_dir, f"recording.{shard_idx:06d}.tar"), "w")
         x, _ = read_wav(path, sr=args.sr)
-        cid = os.path.splitext(os.path.relpath(path, args.input_dir)
-                               )[0].replace(os.sep, "_")
-        meta = {"id": cid, "duration": len(x) / args.sr}
-        if args.kind == "rir":
-            meta["custom"] = {
-                "rir_onset": int(find_rir_onset_spectral(x, args.sr)),
-                "t60": float(estimate_t60(x, args.sr)),
-            }
-        data = _wav_bytes(x, args.sr)
-        info = tarfile.TarInfo(f"{cid}.wav")
-        info.size = len(data)
-        tar.addfile(info, io.BytesIO(data))
-        metas.append(meta)
-        written += 1
-        if written % args.shard_size == 0:
-            flush()
+        base = os.path.splitext(os.path.relpath(path, args.input_dir)
+                                )[0].replace(os.sep, "_")
+        if args.segment:
+            spans = vad_segments(x, args.sr,
+                                 min_speech_sec=args.min_speech_sec)
+            pieces = [(f"{base}_{k:03d}", x[s:e])
+                      for k, (s, e) in enumerate(spans)]
+        else:
+            pieces = [(base, x)]
+        for cid, xs in pieces:
+            if tar is None:
+                tar = tarfile.open(os.path.join(
+                    args.output_dir, f"recording.{shard_idx:06d}.tar"), "w")
+            meta = {"id": cid, "duration": len(xs) / args.sr}
+            if args.kind == "rir":
+                meta["custom"] = {
+                    "rir_onset": int(find_rir_onset_spectral(xs, args.sr)),
+                    "t60": float(estimate_t60(xs, args.sr)),
+                }
+            data = _wav_bytes(xs, args.sr)
+            info = tarfile.TarInfo(f"{cid}.wav")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+            metas.append(meta)
+            written += 1
+            if written % args.shard_size == 0:
+                flush()
         if written % 100 == 0:
             print(f"\r{written}/{len(files)}", end="", flush=True)
     flush()

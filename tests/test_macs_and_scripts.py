@@ -78,3 +78,38 @@ def test_rir_shard_builder_metadata(tmp_path):
     cut = next(ShardSource(str(out)).iter_cuts(seed=0))
     assert abs(cut.custom["rir_onset"] - 100) < 64
     assert 0 < cut.custom["t60"] < 1.0
+
+
+def test_vad_segments_and_segmented_builder(tmp_path):
+    """Energy VAD splits speech bursts at silences; --segment builder writes
+    one cut per utterance (reference analog: scripts/data/segment_daps.py)."""
+    sys.path.insert(0, "/root/repo/scripts")
+    from audiolib import vad_segments
+    from fastenhancer_tpu.data.audio_io import write_wav
+    from fastenhancer_tpu.data.shard import ShardSource
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    burst = (np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+             * rng.standard_normal(sr) * 0.3).astype(np.float32)
+    sil = np.zeros(sr, np.float32)
+    x = np.concatenate([sil, burst, sil, burst, sil])
+
+    segs = vad_segments(x, sr)
+    assert len(segs) == 2
+    for k, (s, e) in enumerate(segs):
+        center = (2 * k + 1.5) * sr  # burst k spans [(2k+1)s, (2k+2)s]
+        assert s < center < e
+
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    write_wav(str(wavdir / "long.wav"), x, sr)
+    out = tmp_path / "shards"
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.data.shard_wavdir", "-i", str(wavdir),
+         "-o", str(out), "--segment"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    cuts = list(ShardSource(str(out)).iter_cuts(seed=0))
+    assert [c.id for c in cuts] == ["long_000", "long_001"]
+    assert all(0.5 <= c.duration <= 2.0 for c in cuts)

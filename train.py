@@ -70,6 +70,9 @@ def main():
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
             process_id=args.process_id)
+    # rank-0-only logging/checkpointing, like the reference's verbose gate +
+    # rank-0 save (reference train.py:60-166, utils/verbose.py:4-7)
+    is_main = jax.process_index() == 0
     print(f"devices: {jax.devices()}")
     wrapper = get_wrapper(hps.wrapper)(hps, train=True)
     wrapper.load()  # resume if a checkpoint exists
@@ -82,10 +85,12 @@ def main():
     _, infer_loader = get_dataset_dataloader(
         hps, "infer", wrapper.infer_keys, n_devices=n_dev)
 
-    from tensorboardX import SummaryWriter
+    writer_train = writer_valid = None
+    if is_main:
+        from tensorboardX import SummaryWriter
 
-    writer_train = SummaryWriter(os.path.join(base_dir, "train"))
-    writer_valid = SummaryWriter(os.path.join(base_dir, "valid"))
+        writer_train = SummaryWriter(os.path.join(base_dir, "train"))
+        writer_valid = SummaryWriter(os.path.join(base_dir, "valid"))
 
     save_interval = getattr(hps.train, "save_interval", 20)
     infer_interval = getattr(hps.infer, "interval", 20) if "infer" in hps else 0
@@ -101,31 +106,37 @@ def main():
 
         summary = wrapper.train_epoch(train_loader)
         summary["scalars"]["lr"] = wrapper.get_lr()
-        summarize(writer_train, epoch, sr, **summary)
+        if is_main:
+            summarize(writer_train, epoch, sr, **summary)
 
         calc_metrics = pesq_interval and epoch % pesq_interval == 0
         summary_v = wrapper.valid_epoch(valid_loader,
                                         calculate_metrics=calc_metrics)
-        summarize(writer_valid, epoch, sr, **summary_v)
+        if is_main:
+            summarize(writer_valid, epoch, sr, **summary_v)
 
         if infer_interval and epoch % infer_interval == 0:
             summary_i = wrapper.infer_epoch(infer_loader)
-            summarize(writer_valid, epoch, sr, **summary_i)
+            if is_main:
+                summarize(writer_valid, epoch, sr, **summary_i)
 
-        if epoch % save_interval == 0 or epoch == max_epochs or wrapper.test:
+        if is_main and (epoch % save_interval == 0 or epoch == max_epochs
+                        or wrapper.test):
             wrapper.save(epoch)
 
         msg = "  ".join(f"{k.split('/')[-1]} {v:.4f}"
                         for k, v in summary_v["scalars"].items())
         extra = wrapper.metrics.print() if (wrapper.metrics and calc_metrics) else ""
-        print(f"Epoch {epoch}/{max_epochs}  valid: {msg}{extra}"
-              f"  [{time.time() - t0:.1f}s]")
+        if is_main:
+            print(f"Epoch {epoch}/{max_epochs}  valid: {msg}{extra}"
+                  f"  [{time.time() - t0:.1f}s]")
 
         if wrapper.test:
             break
 
-    writer_train.close()
-    writer_valid.close()
+    if is_main:
+        writer_train.close()
+        writer_valid.close()
 
 
 if __name__ == "__main__":
