@@ -47,11 +47,17 @@ def make_train_step(
     compute_dtype: tp.Optional[tp.Any] = None,
     donate: bool = True,
     return_grads: bool = False,
+    skip_nonfinite: bool = False,
 ):
     """Build the jitted train step.
 
     compute_dtype=jnp.bfloat16 casts params + wavs for the forward/backward
     (mixed precision); master params, moments and BN stats stay f32.
+
+    skip_nonfinite keeps the old state whenever any grad is NaN/Inf — the
+    branch-free analog of the reference's GradScaler inf-skip (reference:
+    wrappers/ns.py:158-164). bf16 rarely needs it (f32 exponent range, no
+    loss scaling), so it is opt-in via `train.skip_nonfinite_grads`.
     """
     clipper = make_clipper(clip_grad, clip_grad_kwargs)
 
@@ -88,12 +94,21 @@ def make_train_step(
         grads, gnorm = clipper(grads)
         params, opt_state = optimizer.update(
             variables["params"], grads, state["opt_state"], lrs)
+        metrics = {"loss/total": total, "grad_norm": gnorm,
+                   **{f"loss/{k}": v for k, v in per_loss.items()}}
+        if skip_nonfinite:
+            finite = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+            keep = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda n, o: jnp.where(finite, n, o), new, old)
+            params = keep(params, variables["params"])
+            opt_state = keep(opt_state, state["opt_state"])
+            new_stats = keep(new_stats, variables["stats"])
+            metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
         new_state = {
             "variables": {"params": params, "stats": new_stats},
             "opt_state": opt_state,
         }
-        metrics = {"loss/total": total, "grad_norm": gnorm,
-                   **{f"loss/{k}": v for k, v in per_loss.items()}}
         if return_grads:  # for train.plot_param_and_grad histograms
             metrics["grads"] = grads
         return new_state, metrics

@@ -83,7 +83,8 @@ class ModelWrapper:
                 clip_grad=getattr(hp, "clip_grad", None),
                 clip_grad_kwargs=getattr(hp, "clip_grad_kwargs", None),
                 compute_dtype=self.compute_dtype,
-                return_grads=self.plot_param_and_grad)
+                return_grads=self.plot_param_and_grad,
+                skip_nonfinite=getattr(hp, "skip_nonfinite_grads", False))
             self.valid_step = make_valid_step(self.model, self.loss,
                                               self.compute_dtype)
             self.state = {

@@ -114,3 +114,37 @@ def test_valid_step():
     vstep = make_valid_step(model, losses)
     out = vstep(variables, _batch(np.random.default_rng(3), b=4))
     assert np.isfinite(float(out["loss/total"]))
+
+
+def test_skip_nonfinite_grads():
+    """NaN batch: guard keeps params/opt/stats bit-identical and reports
+    skipped=1; a clean batch afterwards still updates."""
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(0))
+    losses = Losses(HP_TRAIN["losses"])
+    opt = get_optimizer(model, variables["params"], HP_TRAIN)
+    sched = get_scheduler(opt, HP_TRAIN)
+    step_fn = make_train_step(model, losses, opt, donate=False,
+                              skip_nonfinite=True)
+
+    state = {"variables": variables,
+             "opt_state": opt.init(variables["params"])}
+    lrs = jnp.asarray(sched.lrs, jnp.float32)
+    rng = np.random.default_rng(0)
+    bad = _batch(rng)
+    bad["noisy"][0, 5] = np.nan
+
+    new_state, metrics = step_fn(state, bad, lrs)
+    assert float(metrics["skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(state["variables"]["params"]),
+                    jax.tree.leaves(new_state["variables"]["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    good = _batch(rng)
+    new_state2, metrics2 = step_fn(new_state, good, lrs)
+    assert float(metrics2["skipped"]) == 0.0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(new_state["variables"]["params"]),
+                        jax.tree.leaves(new_state2["variables"]["params"])))
+    assert changed
