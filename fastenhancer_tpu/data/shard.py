@@ -11,9 +11,11 @@ utils/data/shard_on_the_fly.py, 1.5k lines on lhotse + torch DataLoader):
     and serves random draws from it (:348-390);
   * `DurationBucketSampler` — batches of similar-duration cuts summing to
     `max_duration` seconds (DynamicBucketingSampler semantics, :729-738);
-  * `ShardDataset` — iterable assembling `ShardBatch`es with probabilistic
-    reverb/noise decisions (:841-1076); per-epoch seed via `set_epoch`, RAM
-    release via `release_auxiliary` (:674-692).
+  * `ShardDataset` — iterable assembling `ShardBatch`es with the
+    reference's 11-step probabilistic assembly (:841-1076): codec-vs-reverb
+    joint draw, farend/echo pooling with a shared wrap-crop cursor, is_real
+    round-robin, noise gating for real full-echo items; per-epoch seed via
+    `set_epoch`, RAM release via `release_auxiliary` (:674-692).
 
 Audio codecs: wav decoded natively (data/audio_io.py); flac via soundfile
 when installed (gated — this environment has neither soundfile nor a flac
@@ -74,56 +76,84 @@ class Cut:
     duration: float
     audio: np.ndarray
     custom: tp.Dict[str, tp.Any]
+    # extra shard fields loaded in lockstep (e.g. "codec", "echo");
+    # reference stores these as parallel tars (codec.NNNNNN.tar, :649-656)
+    extras: tp.Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
 
 class ShardSource:
-    """One shard directory: aligned cuts.*.jsonl.gz + recording.*.tar."""
+    """One shard directory: aligned cuts.*.jsonl.gz + recording.*.tar.
 
-    def __init__(self, shard_dir: str, weight: float = 1.0):
+    `fields` beyond "recording" name parallel tars (codec.NNNNNN.tar,
+    echo.NNNNNN.tar) whose members are in the SAME order as recording's
+    (the lhotse-shar alignment contract, reference :164,:649-656); they are
+    read in lockstep and exposed as Cut.extras[field]."""
+
+    def __init__(self, shard_dir: str, weight: float = 1.0,
+                 fields: tp.Sequence[str] = ("recording",)):
         self.shard_dir = shard_dir
         self.weight = weight
-        self._shards: tp.Optional[tp.List[tp.Tuple[str, str]]] = None
+        self.fields = tuple(fields)
+        self._shards: tp.Optional[tp.List[tp.Tuple[str, tp.Dict[str, str]]]] \
+            = None
 
-    def _discover(self) -> tp.List[tp.Tuple[str, str]]:
+    def _discover(self) -> tp.List[tp.Tuple[str, tp.Dict[str, str]]]:
         if self._shards is None:
             cuts = sorted(f for f in os.listdir(self.shard_dir)
                           if f.startswith("cuts.") and f.endswith(".jsonl.gz"))
             pairs = []
             for c in cuts:
                 idx = c.split(".")[1]
-                tar = f"recording.{idx}.tar"
-                if os.path.exists(os.path.join(self.shard_dir, tar)):
-                    pairs.append((os.path.join(self.shard_dir, c),
-                                  os.path.join(self.shard_dir, tar)))
+                tars = {f: os.path.join(self.shard_dir, f"{f}.{idx}.tar")
+                        for f in self.fields}
+                if all(os.path.exists(p) for p in tars.values()):
+                    pairs.append((os.path.join(self.shard_dir, c), tars))
             self._shards = pairs
         return self._shards
+
+    @staticmethod
+    def _iter_tar_audio(tar_path: str):
+        with tarfile.open(tar_path) as tar:
+            for member in tar:
+                if not member.isfile():
+                    continue
+                stem = os.path.basename(member.name).rsplit(".", 1)[0]
+                payload = tar.extractfile(member).read()
+                yield stem, _decode_audio(member.name, payload)
 
     def iter_cuts(self, seed: int) -> tp.Iterator[Cut]:
         """Iterate all cuts; shard ORDER is shuffled by seed, cuts within a
         shard stay tar-sequential (reference: shard-level shuffle only)."""
         shards = list(self._discover())
         random.Random(seed).shuffle(shards)
-        for cuts_path, tar_path in shards:
+        extra_fields = [f for f in self.fields if f != "recording"]
+        for cuts_path, tars in shards:
             with gzip.open(cuts_path, "rt") as f:
                 metas = [json.loads(line) for line in f if line.strip()]
             by_id = {m["id"]: m for m in metas}
             t0 = time.perf_counter()
-            with tarfile.open(tar_path) as tar:
-                for member in tar:
-                    if not member.isfile():
-                        continue
-                    stem = os.path.basename(member.name).rsplit(".", 1)[0]
-                    meta = by_id.get(stem)
-                    if meta is None:
-                        continue
-                    payload = tar.extractfile(member).read()
-                    audio = _decode_audio(member.name, payload)
-                    if SHARD_DEBUG and time.perf_counter() - t0 > 1.0:
-                        print(f"[shard-debug] slow cut {stem} from {tar_path}")
-                    t0 = time.perf_counter()
-                    yield Cut(id=stem, duration=float(meta.get("duration",
-                              len(audio) / 16000)),
-                              audio=audio, custom=meta.get("custom") or {})
+            main = self._iter_tar_audio(tars["recording"])
+            extra_iters = {f: self._iter_tar_audio(tars[f])
+                           for f in extra_fields}
+            for stem, audio in main:
+                meta = by_id.get(stem)
+                extras = {}
+                for f, it in extra_iters.items():
+                    e_stem, e_audio = next(it)
+                    if e_stem.split("_" + f)[0] != stem and e_stem != stem:
+                        raise ValueError(
+                            f"misaligned shard field {f}: {e_stem} vs {stem}")
+                    extras[f] = e_audio
+                if meta is None:
+                    continue
+                if SHARD_DEBUG and time.perf_counter() - t0 > 1.0:
+                    print(f"[shard-debug] slow cut {stem} from "
+                          f"{tars['recording']}")
+                t0 = time.perf_counter()
+                yield Cut(id=stem, duration=float(meta.get("duration",
+                          len(audio) / 16000)),
+                          audio=audio, custom=meta.get("custom") or {},
+                          extras=extras)
 
 
 class WeightedMux:
@@ -196,14 +226,17 @@ class CyclicBuffer:
 @dataclasses.dataclass
 class ShardBatch:
     """Host-side assembled batch (numpy), reference :473-529."""
-    speech: np.ndarray                       # [B, 1, T]
-    speech_clean: tp.Optional[np.ndarray]    # [B, 1, T]
+    speech: np.ndarray                       # [B, 1, T] codec or clean
+    speech_clean: tp.Optional[np.ndarray]    # [B, 1, T] always clean
     noise: tp.Optional[np.ndarray]           # [B, 1, T]
     rir: tp.Optional[np.ndarray]             # [B, 1, T_rir]
     rir_onset: tp.Optional[np.ndarray]       # [B]
     rir_t60: tp.Optional[np.ndarray]         # [B]
     num_samples: np.ndarray                  # [B]
     id_speech: tp.List[str]
+    farend: tp.Optional[np.ndarray] = None   # [B, 1, T] far-end reference
+    echo: tp.Optional[np.ndarray] = None     # [B, 1, T] aligned echo render
+    is_real: tp.Optional[np.ndarray] = None  # [B] bool: recorded echo pair
 
 
 class ShardDataset:
@@ -239,11 +272,26 @@ class ShardDataset:
         self.min_utt: float = sec.get("min_utt_duration", 0.5)
         self.p_reverb: float = sec.get("prob_speech_reverb", 0.0)
         self.p_noise: float = sec.get("prob_noise", 1.0)
+        self.p_codec: float = sec.get("prob_speech_codec", 0.0)
+        self.p_fe_echo: float = sec.get("prob_farend_echo", 0.0)
+        self.p_fe_only: float = sec.get("prob_farend_only", 0.0)
+        assert self.p_codec + self.p_reverb <= 1.0 + 1e-6, \
+            "prob_speech_codec + prob_speech_reverb must be <= 1.0"
+        if self.p_codec > 0:
+            # speech shards must carry a parallel codec.NNNNNN.tar field
+            self.speech = WeightedMux([
+                ShardSource(d["shard_dir"], d.get("weight", 1.0),
+                            fields=("recording", "codec"))
+                for d in sec["inputs"]["speech"]])
+        self.farend_echo = None
+        if self.p_fe_echo > 0 or self.p_fe_only > 0:
+            fe_fields = (("recording", "echo") if self.p_fe_echo > 0
+                         else ("recording",))
+            self.farend_echo = CyclicBuffer(WeightedMux([
+                ShardSource(d["shard_dir"], d.get("weight", 1.0),
+                            fields=fe_fields)
+                for d in sec["inputs"]["farend_echo"]]), buf)
         self.segment_size: tp.Optional[int] = sec.get("segment_size")
-        for p in ("prob_speech_codec", "prob_farend_echo", "prob_farend_only"):
-            if sec.get(p, 0.0) > 0:
-                raise NotImplementedError(
-                    f"{p} > 0 not supported yet (codec/echo paths)")
         self._epoch_seed = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -257,6 +305,8 @@ class ShardDataset:
             self.noise.release()
         if self.rir:
             self.rir.release()
+        if self.farend_echo:
+            self.farend_echo.release()
 
     # -- assembly --------------------------------------------------------------
 
@@ -278,43 +328,130 @@ class ShardDataset:
         reps = int(np.ceil(target / max(len(audio), 1)))
         return np.tile(audio, reps)[:target]
 
+    @staticmethod
+    def _wrap_crop(stream: np.ndarray, cursor: int, n: int) -> np.ndarray:
+        """n samples from stream starting at cursor, wrapping/tiling
+        (reference _wrap_crop, :435-450)."""
+        t = len(stream)
+        if t == 0:
+            return np.zeros(n, np.float32)
+        cursor = cursor % t
+        if cursor + n <= t:
+            return stream[cursor: cursor + n]
+        reps = int(np.ceil((cursor + n) / t))
+        return np.tile(stream, reps)[cursor: cursor + n]
+
     def _assemble(self, cuts: tp.List[Cut], rng: random.Random) -> ShardBatch:
+        """Reference 11-step _process_batch (:841-1076), host side only —
+        decisions + loads + stacking; all mixing math runs on device in
+        DynamicMixer."""
         b = len(cuts)
         if self.segment and self.segment_size:
             t = self.segment_size
         else:
             t = max(len(c.audio) for c in cuts)
+
+        # step 1: per-item decisions. codec and reverb share ONE draw and
+        # are mutually exclusive (reference :851-866); echo likewise.
+        use_codec = [False] * b
+        use_reverb = [False] * b
+        echo_type = ["none"] * b
+        for i in range(b):
+            r = rng.random()
+            if r < self.p_codec:
+                use_codec[i] = True
+            elif r < self.p_codec + self.p_reverb and self.rir is not None:
+                use_reverb[i] = True
+            r = rng.random()
+            if r < self.p_fe_echo:
+                echo_type[i] = "full"
+            elif r < self.p_fe_echo + self.p_fe_only:
+                echo_type[i] = "farend_only"
+
+        # steps 2-3: farend pool + is_real (round-robin, reference :869-886)
+        fe_needed = [i for i in range(b) if echo_type[i] != "none"]
+        fe_pool: tp.List[Cut] = []
+        if fe_needed and self.farend_echo is not None:
+            need_dur = len(fe_needed) * (t / self.sr)
+            pool_dur = 0.0
+            while pool_dur < need_dur and len(fe_pool) < len(fe_needed):
+                fc = self.farend_echo.draw()
+                fe_pool.append(fc)
+                pool_dur += fc.duration
+        is_real = np.zeros(b, bool)
+        if fe_pool:
+            for j, i in enumerate(fe_needed):
+                is_real[i] = bool(
+                    fe_pool[j % len(fe_pool)].custom.get("is_real", False))
+
+        # step 4: noise decisions (skip real full-echo items, reference :889-892)
+        noise_on = [False] * b
+        if self.noise is not None and self.p_noise > 0:
+            for i in range(b):
+                if not (is_real[i] and echo_type[i] == "full"):
+                    noise_on[i] = rng.random() < self.p_noise
+
+        # step 6: speech (codec variant when drawn; clean target always)
         speech = np.zeros((b, 1, t), np.float32)
+        speech_clean = np.zeros((b, 1, t), np.float32)
         num_samples = np.zeros(b, np.int64)
         for i, c in enumerate(cuts):
-            a = c.audio[:t] if not self.segment else self._fit(c.audio, t, rng)
-            speech[i, 0, : len(a)] = a
-            num_samples[i] = len(a)
+            clean = (c.audio[:t] if not self.segment
+                     else self._fit(c.audio, t, rng))
+            inp = clean
+            if use_codec[i]:
+                cod = c.extras["codec"]
+                inp = (cod[:t] if not self.segment
+                       else self._fit(cod, t, rng))
+            speech[i, 0, : len(inp)] = inp[: t]
+            speech_clean[i, 0, : len(clean)] = clean[: t]
+            num_samples[i] = len(clean)
 
+        # step 7: farend/echo streams with one advancing cursor (:938-957)
+        farend = echo = None
+        if fe_pool:
+            farend = np.zeros((b, 1, t), np.float32)
+            need_echo = any(echo_type[i] == "full" for i in fe_needed)
+            echo = np.zeros((b, 1, t), np.float32) if need_echo else None
+            fe_stream = np.concatenate([fc.audio for fc in fe_pool])
+            echo_stream = (np.concatenate([fc.extras["echo"]
+                                           for fc in fe_pool])
+                           if need_echo else None)
+            t_fe = len(fe_stream)
+            cursor = rng.randint(0, max(0, t_fe - t))
+            for i in fe_needed:
+                farend[i, 0] = self._wrap_crop(fe_stream, cursor, t)
+                if echo_type[i] == "full" and echo_stream is not None:
+                    echo[i, 0] = self._wrap_crop(echo_stream, cursor, t)
+                cursor = (cursor + t) % t_fe if t_fe > 0 else 0
+
+        # step 8: noise
+        noise = None
+        if self.noise is not None and self.p_noise > 0:
+            noise = np.zeros((b, 1, t), np.float32)
+            for i in range(b):
+                if noise_on[i]:
+                    noise[i, 0] = self._fit(self.noise.draw().audio, t, rng)
+
+        # step 9: RIR (unit impulse for non-reverb items)
         t_rir = int(0.5 * self.sr)
         rir = np.zeros((b, 1, t_rir), np.float32)
         rir[:, 0, 0] = 1.0  # unit impulse = dry
         rir_onset = np.zeros(b, np.int64)
         rir_t60 = np.full(b, 1e-3, np.float32)  # <= t60_max => rts passthrough
-        if self.rir is not None and self.p_reverb > 0:
-            for i in range(b):
-                if rng.random() < self.p_reverb:
-                    r, onset, t60 = self._pick_rir(rng, t_rir)
-                    rir[i, 0, : len(r)] = r
-                    rir_onset[i] = onset
-                    rir_t60[i] = t60
-
-        noise = None
-        if self.noise is not None and self.p_noise > 0:
-            noise = np.zeros((b, 1, t), np.float32)
-            for i in range(b):
-                if rng.random() < self.p_noise:
-                    noise[i, 0] = self._fit(self.noise.draw().audio, t, rng)
+        for i in range(b):
+            if use_reverb[i]:
+                r, onset, t60 = self._pick_rir(rng, t_rir)
+                rir[i, 0, : len(r)] = r
+                rir_onset[i] = onset
+                rir_t60[i] = t60
 
         return ShardBatch(
-            speech=speech, speech_clean=speech.copy(), noise=noise,
+            speech=speech, speech_clean=speech_clean, noise=noise,
             rir=rir, rir_onset=rir_onset, rir_t60=rir_t60,
-            num_samples=num_samples, id_speech=[c.id for c in cuts])
+            num_samples=num_samples, id_speech=[c.id for c in cuts],
+            farend=farend, echo=echo,
+            is_real=is_real if fe_pool else None)
 
     def _iter_batches(self, seed: int) -> tp.Iterator[ShardBatch]:
         rng = random.Random(seed)
@@ -322,6 +459,8 @@ class ShardDataset:
             self.noise.reset(seed + 1)
         if self.rir:
             self.rir.reset(seed + 2)
+        if self.farend_echo:
+            self.farend_echo.reset(seed + 3)
         buckets: tp.List[tp.List[Cut]] = [[] for _ in range(self.num_buckets)]
         bucket_dur = [0.0] * self.num_buckets
         step = (self.max_utt - self.min_utt) / self.num_buckets

@@ -113,11 +113,14 @@ class DynamicMixer:
         rir: tp.Optional[Array] = None,
         rir_onset: tp.Optional[Array] = None,
         rir_t60: tp.Optional[Array] = None,
+        echo: tp.Optional[Array] = None,
+        is_real: tp.Optional[Array] = None,
     ) -> tp.Dict[str, Array]:
-        """All arrays [B, 1, T] ([B] for onset/t60). Returns
-        {"speech" (noisy input), "speech_clean" (target), "dbFS", "snr"}."""
+        """All arrays [B, 1, T] ([B] for onset/t60/is_real). Returns
+        {"speech" (noisy input), "speech_clean" (target), "dbFS", "snr",
+        "ser"}."""
         b = speech.shape[0]
-        k_dbfs, k_snr = jax.random.split(key)
+        k_dbfs, k_snr, k_ser_r, k_ser_s = jax.random.split(key, 4)
 
         # 1. RIR convolution
         inp = speech
@@ -156,6 +159,27 @@ class DynamicMixer:
         if clean_out is not None:
             clean_out = clean_out * scale
 
+        # 4. SER echo mixing (reference :1363-1379; zero echo rows: rms ==
+        # +inf -> scale 0, so they add nothing). is_real picks the SER range
+        # for recorded (real) vs simulated echo pairs.
+        ser = None
+        if echo is not None:
+            rms_echo = segmental_rms(echo[:, 0], sr=self.sr,
+                                     window_ms=self.seg_window_ms,
+                                     relative_threshold_db=self.seg_rel_thr,
+                                     absolute_threshold_db=self.seg_abs_thr)
+            ser_r = jax.random.uniform(k_ser_r, (b,), minval=self.ser_real[0],
+                                       maxval=self.ser_real[1])
+            ser_s = jax.random.uniform(k_ser_s, (b,), minval=self.ser[0],
+                                       maxval=self.ser[1])
+            real = (is_real if is_real is not None
+                    else jnp.zeros((b,), bool)).astype(bool)
+            ser = jnp.where(real, ser_r, ser_s)
+            echo_scale = target_rms / jnp.maximum(
+                rms_echo * 10.0 ** (ser.reshape(b, 1, 1) / 20.0), 1e-10)
+            echo_scale = jnp.where(jnp.isfinite(echo_scale), echo_scale, 0.0)
+            inp = inp + echo_scale * echo
+
         # 5. SNR noise mixing (zeros add nothing)
         snr = None
         if noise is not None:
@@ -183,4 +207,4 @@ class DynamicMixer:
         if clean_out is not None:
             clean_out = clean_out / denom
         return {"speech": inp, "speech_clean": clean_out, "dbFS": dbfs,
-                "snr": snr}
+                "snr": snr, "ser": ser}

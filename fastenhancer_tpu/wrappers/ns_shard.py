@@ -49,8 +49,11 @@ class ModelWrapper(BaseModelWrapper):
             arrs["rir"] = batch.rir
             arrs["rir_onset"] = batch.rir_onset
             arrs["rir_t60"] = batch.rir_t60
+        if batch.echo is not None:
+            arrs["echo"] = batch.echo
+            arrs["is_real"] = batch.is_real.astype(bool)
         t = (arrs["speech"].shape[-1] // self.hop_size) * self.hop_size
-        for k in ("speech", "speech_clean", "noise"):
+        for k in ("speech", "speech_clean", "noise", "echo"):
             if k in arrs:
                 arrs[k] = arrs[k][..., :t]
         padded, real_b = pad_batch_to(arrs, self.n_devices)
@@ -58,7 +61,8 @@ class ModelWrapper(BaseModelWrapper):
         self._mix_key, sub = jax.random.split(self._mix_key)
         mixed = self.mixer(
             sub, dev["speech"], dev["speech_clean"], dev.get("noise"),
-            dev.get("rir"), dev.get("rir_onset"), dev.get("rir_t60"))
+            dev.get("rir"), dev.get("rir_onset"), dev.get("rir_t60"),
+            echo=dev.get("echo"), is_real=dev.get("is_real"))
         return {"clean": mixed["speech_clean"][:, 0],
                 "noisy": mixed["speech"][:, 0]}, real_b
 

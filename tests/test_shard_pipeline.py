@@ -67,36 +67,48 @@ def _load_ref_shard():
         pytest.skip(f"reference shard module not importable: {e}")
 
 
+def _wav_payload(wav):
+    import wave as wave_mod
+    buf = io.BytesIO()
+    pcm = np.clip(wav * 32768, -32768, 32767).astype("<i2")
+    with wave_mod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(SR)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# parallel-field content is a recognizable transform of the recording so
+# tests can assert which variant the pipeline picked
+FIELD_GAIN = {"codec": 0.5, "echo": 0.25}
+
+
 def _make_shard_dir(root, name, n_shards=2, cuts_per_shard=4, seed=0,
-                    dur_range=(0.6, 2.0), custom=None):
+                    dur_range=(0.6, 2.0), custom=None, extra_fields=()):
     d = root / name
     d.mkdir(parents=True)
     rng = np.random.default_rng(seed)
     for s in range(n_shards):
         metas = []
-        tar_path = d / f"recording.{s:06d}.tar"
-        with tarfile.open(tar_path, "w") as tar:
-            for c in range(cuts_per_shard):
-                cid = f"{name}-{s}-{c}"
-                dur = float(rng.uniform(*dur_range))
-                wav = (rng.standard_normal(int(dur * SR)) * 0.1).astype(
-                    np.float32)
-                buf = io.BytesIO()
-                import wave as wave_mod
-                pcm = np.clip(wav * 32768, -32768, 32767).astype("<i2")
-                with wave_mod.open(buf, "wb") as f:
-                    f.setnchannels(1)
-                    f.setsampwidth(2)
-                    f.setframerate(SR)
-                    f.writeframes(pcm.tobytes())
-                data = buf.getvalue()
+        tars = {f: tarfile.open(d / f"{f}.{s:06d}.tar", "w")
+                for f in ("recording", *extra_fields)}
+        for c in range(cuts_per_shard):
+            cid = f"{name}-{s}-{c}"
+            dur = float(rng.uniform(*dur_range))
+            wav = (rng.standard_normal(int(dur * SR)) * 0.1).astype(
+                np.float32)
+            for field, tar in tars.items():
+                data = _wav_payload(wav * FIELD_GAIN.get(field, 1.0))
                 info = tarfile.TarInfo(f"{cid}.wav")
                 info.size = len(data)
                 tar.addfile(info, io.BytesIO(data))
-                meta = {"id": cid, "duration": dur}
-                if custom:
-                    meta["custom"] = custom
-                metas.append(meta)
+            meta = {"id": cid, "duration": dur}
+            if custom:
+                meta["custom"] = custom
+            metas.append(meta)
+        for tar in tars.values():
+            tar.close()
         with gzip.open(d / f"cuts.{s:06d}.jsonl.gz", "wt") as f:
             for m in metas:
                 f.write(json.dumps(m) + "\n")
@@ -112,6 +124,11 @@ def shards(tmp_path_factory):
         "noise": _make_shard_dir(root, "noise", seed=3, dur_range=(0.3, 1.0)),
         "rir": _make_shard_dir(root, "rir", seed=4, dur_range=(0.1, 0.3),
                                custom={"rir_onset": 10, "t60": 0.4}),
+        "speech_codec": _make_shard_dir(root, "speech_codec", seed=5,
+                                        extra_fields=("codec",)),
+        "farend_echo": _make_shard_dir(root, "farend_echo", seed=6,
+                                       extra_fields=("echo",),
+                                       custom={"is_real": True}),
     }
 
 
@@ -321,10 +338,14 @@ def test_ns_shard_training_smoke(shards, tmp_path):
     cfg["model_kwargs"]["rnnformer_kwargs"].update(
         {"num_blocks": 1, "channels": 8, "freq": 8, "num_heads": 2})
     cfg["data"]["train"]["inputs"] = {
-        "speech": [{"shard_dir": shards["speech"], "weight": 1.0}],
+        "speech": [{"shard_dir": shards["speech_codec"], "weight": 1.0}],
         "noise": [{"shard_dir": shards["noise"], "weight": 1.0}],
         "rir": [{"shard_dir": shards["rir"], "weight": 1.0}],
+        "farend_echo": [{"shard_dir": shards["farend_echo"], "weight": 1.0}],
     }
+    cfg["data"]["train"]["prob_speech_codec"] = 0.5
+    cfg["data"]["train"]["prob_farend_echo"] = 0.5
+    cfg["data"]["train"]["prob_farend_only"] = 0.2
     cfg["data"]["train"]["aux_buffer_size"] = 16
     cfg["data"]["max_duration"] = 4.0
     cfg["train"]["steps_per_epoch"] = 2
@@ -342,3 +363,102 @@ def test_ns_shard_training_smoke(shards, tmp_path):
     wrapper.steps_per_epoch = 2
     summary = wrapper.train_epoch(loader)
     assert np.isfinite(summary["scalars"]["loss/si_snr"])
+
+
+def test_multifield_shard_source(shards):
+    """Parallel-field tars (codec) are read in lockstep into Cut.extras."""
+    src = ShardSource(shards["speech_codec"], fields=("recording", "codec"))
+    cuts = list(src.iter_cuts(seed=0))
+    assert len(cuts) == 8
+    for c in cuts:
+        np.testing.assert_allclose(c.extras["codec"], c.audio * 0.5,
+                                   atol=2e-4)
+
+
+def test_shard_dataset_codec_and_echo(shards):
+    """prob_speech_codec=1: speech is the codec variant, speech_clean stays
+    clean. prob_farend_echo=1: echo/farend share one wrap-crop cursor (so
+    echo == FIELD_GAIN ratio * farend), is_real comes from cut custom, and
+    noise is suppressed for real full-echo items (reference :841-892)."""
+    hp = _hp(shards)
+    hp.train["prob_speech_codec"] = 1.0
+    hp.train["prob_speech_reverb"] = 0.0
+    hp.train["prob_farend_echo"] = 1.0
+    hp.train["inputs"]["speech"] = [
+        {"shard_dir": shards["speech_codec"], "weight": 1.0}]
+    hp.train["inputs"]["farend_echo"] = [
+        {"shard_dir": shards["farend_echo"], "weight": 1.0}]
+    ds = ShardDataset(hp, mode="train")
+    ds.set_epoch(1)
+    b = next(iter(ds))
+
+    # codec: input speech = 0.5 * clean (minus 16-bit quantization)
+    assert not np.allclose(b.speech, b.speech_clean)
+    np.testing.assert_allclose(b.speech, b.speech_clean * 0.5, atol=2e-4)
+
+    # echo aligned with farend via the shared cursor
+    assert b.echo is not None and b.farend is not None
+    live = np.abs(b.farend).max(axis=(1, 2)) > 0
+    assert live.all()  # p=1: every item gets an echo
+    np.testing.assert_allclose(b.echo, b.farend * FIELD_GAIN["echo"],
+                               atol=4e-4)
+
+    # is_real from shard custom; noise suppressed for real full-echo items
+    assert b.is_real is not None and b.is_real.all()
+    assert b.noise is None or np.abs(b.noise).max() == 0.0
+    ds.release_auxiliary()
+
+
+def test_dynamic_mixer_echo_matches_reference_torch(shards):
+    """Echo (SER) mixing parity with pinned draws: dbFS, ser_real, ser, snr."""
+    torch = pytest.importorskip("torch")
+    mod = _load_ref_shard()
+    rng = np.random.default_rng(1)
+    b, t = 3, SR
+    speech = (rng.standard_normal((b, 1, t)) * 0.1).astype(np.float32)
+    echo = (rng.standard_normal((b, 1, t)) * 0.03).astype(np.float32)
+    echo[1] = 0.0  # zero echo row must add nothing
+    noise = (rng.standard_normal((b, 1, t)) * 0.05).astype(np.float32)
+    is_real = np.array([True, False, False])
+    dbfs = np.array([-20.0, -25.0, -18.0], np.float32)
+    ser_r = np.array([3.0, 4.0, 5.0], np.float32)
+    ser_s = np.array([-2.0, 8.0, 12.0], np.float32)
+    snr = np.array([5.0, 10.0, 0.0], np.float32)
+
+    ref_mixer = mod.DynamicMixer(seg_abs_threshold=None)
+    batch = mod.ShardBatch(
+        speech=torch.from_numpy(speech),
+        speech_clean=torch.from_numpy(speech.copy()),
+        echo=torch.from_numpy(echo),
+        is_real=torch.from_numpy(is_real),
+        noise=torch.from_numpy(noise))
+    orig_uniform = torch.Tensor.uniform_
+    draws = iter([dbfs, ser_r, ser_s, snr])
+
+    def fake_uniform(self, *a, **k):
+        vals = next(draws)
+        self.copy_(torch.from_numpy(vals[: self.numel()].astype(np.float32)))
+        return self
+
+    torch.Tensor.uniform_ = fake_uniform
+    try:
+        ref_out = ref_mixer(batch)
+    finally:
+        torch.Tensor.uniform_ = orig_uniform
+
+    mixer = DynamicMixer(seg_abs_threshold=None)
+    orig_jax_uniform = jax.random.uniform
+    jdraws = iter([jnp.asarray(dbfs), jnp.asarray(ser_r), jnp.asarray(ser_s),
+                   jnp.asarray(snr)])
+    jax.random.uniform = lambda *a, **k: next(jdraws)
+    try:
+        out = mixer(jax.random.PRNGKey(0), jnp.asarray(speech),
+                    jnp.asarray(speech.copy()), jnp.asarray(noise),
+                    echo=jnp.asarray(echo), is_real=jnp.asarray(is_real))
+    finally:
+        jax.random.uniform = orig_jax_uniform
+
+    np.testing.assert_allclose(np.asarray(out["speech"]),
+                               ref_out.speech.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["ser"]),
+                               ref_out.ser.numpy(), atol=1e-6)
