@@ -237,6 +237,7 @@ class ShardBatch:
     farend: tp.Optional[np.ndarray] = None   # [B, 1, T] far-end reference
     echo: tp.Optional[np.ndarray] = None     # [B, 1, T] aligned echo render
     is_real: tp.Optional[np.ndarray] = None  # [B] bool: recorded echo pair
+    text: tp.Optional[tp.List[str]] = None   # transcript variant (WER eval)
 
 
 class ShardDataset:
@@ -292,6 +293,12 @@ class ShardDataset:
                             fields=fe_fields)
                 for d in sec["inputs"]["farend_echo"]]), buf)
         self.segment_size: tp.Optional[int] = sec.get("segment_size")
+        self.ids_to_filter = set(sec.get("ids_to_filter") or [])
+        self.pad_mode: str = sec.get("pad_mode", "zeros")
+        assert self.pad_mode in ("zeros", "repeat")
+        # transcript selection for WER eval (reference text_field, :560-569);
+        # stored in cut custom by the shard builders
+        self.text_field: str = hp.get("text", "")
         self._epoch_seed = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -403,9 +410,16 @@ class ShardDataset:
                 cod = c.extras["codec"]
                 inp = (cod[:t] if not self.segment
                        else self._fit(cod, t, rng))
+            if self.pad_mode == "repeat" and len(clean) < t:
+                inp = self._wrap_crop(inp, 0, t)
+                clean = self._wrap_crop(clean, 0, t)
             speech[i, 0, : len(inp)] = inp[: t]
             speech_clean[i, 0, : len(clean)] = clean[: t]
-            num_samples[i] = len(clean)
+            # valid-sample count: segment/repeat modes fill the row entirely
+            if self.segment or self.pad_mode == "repeat":
+                num_samples[i] = t
+            else:
+                num_samples[i] = min(len(c.audio), t)
 
         # step 7: farend/echo streams with one advancing cursor (:938-957)
         farend = echo = None
@@ -446,12 +460,15 @@ class ShardDataset:
                 rir_onset[i] = onset
                 rir_t60[i] = t60
 
+        text = None
+        if self.text_field:
+            text = [str(c.custom.get(self.text_field, "")) for c in cuts]
         return ShardBatch(
             speech=speech, speech_clean=speech_clean, noise=noise,
             rir=rir, rir_onset=rir_onset, rir_t60=rir_t60,
             num_samples=num_samples, id_speech=[c.id for c in cuts],
             farend=farend, echo=echo,
-            is_real=is_real if fe_pool else None)
+            is_real=is_real if fe_pool else None, text=text)
 
     def _iter_batches(self, seed: int) -> tp.Iterator[ShardBatch]:
         rng = random.Random(seed)
@@ -466,6 +483,8 @@ class ShardDataset:
         step = (self.max_utt - self.min_utt) / self.num_buckets
 
         for cut in self.speech.iter_cuts(seed):
+            if cut.id in self.ids_to_filter:
+                continue
             d = cut.duration
             if d < self.min_utt or d > self.max_utt:
                 continue

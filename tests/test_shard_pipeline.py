@@ -462,3 +462,24 @@ def test_dynamic_mixer_echo_matches_reference_torch(shards):
                                ref_out.speech.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["ser"]),
                                ref_out.ser.numpy(), atol=1e-6)
+
+
+def test_shard_dataset_filter_padmode_text(shards):
+    """ids_to_filter drops cuts; pad_mode=repeat wrap-pads short items to
+    the batch length; text field comes from cut custom."""
+    hp = _hp(shards)
+    hp.train["ids_to_filter"] = ["speech-0-0", "speech2-0-1"]
+    hp.train["pad_mode"] = "repeat"
+    hp["text"] = "is_real"  # any custom key works for the plumbing test
+    ds = ShardDataset(hp, mode="train")
+    ds.set_epoch(3)
+    batches = list(ds)
+    ids = [i for b in batches for i in b.id_speech]
+    assert "speech-0-0" not in ids and "speech2-0-1" not in ids
+    assert sum(len(b.id_speech) for b in batches) == 14
+    for b in batches:
+        # repeat padding: every row fills the batch length
+        live = np.abs(b.speech_clean[:, 0]) > 0
+        assert (live.mean(axis=1) > 0.9).all()
+        assert b.text is not None and len(b.text) == len(b.id_speech)
+    ds.release_auxiliary()
