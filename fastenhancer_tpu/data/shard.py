@@ -294,6 +294,10 @@ class ShardDataset:
                 for d in sec["inputs"]["farend_echo"]]), buf)
         self.segment_size: tp.Optional[int] = sec.get("segment_size")
         self.ids_to_filter = set(sec.get("ids_to_filter") or [])
+        # silence gap between concatenated cuts in segment mode
+        # (reference shard_segment.py:169-213, silence_length seconds)
+        self._silence_len = max(0, int(
+            sec.get("silence_length", 0.1) * self.sr))
         self.pad_mode: str = sec.get("pad_mode", "zeros")
         assert self.pad_mode in ("zeros", "repeat")
         # transcript selection for WER eval (reference text_field, :560-569);
@@ -470,6 +474,134 @@ class ShardDataset:
             farend=farend, echo=echo,
             is_real=is_real if fe_pool else None, text=text)
 
+    def _gen_stream(self, draw: tp.Callable[[], Cut], t: int,
+                    rng: random.Random, extra: tp.Optional[str] = None
+                    ) -> tp.Tuple[np.ndarray, tp.Optional[np.ndarray],
+                                  tp.List[str], bool]:
+        """Concat cuts with silence gaps until exactly t samples; the final
+        overflow cut is random-cropped at a shared offset so a parallel
+        `extra` field stays temporally aligned (reference
+        shard_segment.py:335-426 _gen_audio/_gen_speech)."""
+        chunks: tp.List[np.ndarray] = []
+        echunks: tp.List[np.ndarray] = []
+        ids: tp.List[str] = []
+        is_real = False
+        remaining = t
+        while remaining > 0:
+            cut = draw()
+            if not ids:
+                is_real = bool(cut.custom.get("is_real", False))
+            ids.append(cut.id)
+            a = cut.audio
+            e = cut.extras.get(extra) if extra else None
+            n = len(a)
+            if remaining >= n:
+                chunks.append(a)
+                if e is not None:
+                    echunks.append(e[:n])
+                remaining -= n
+                if remaining > 0 and self._silence_len > 0:
+                    sil = min(remaining, self._silence_len)
+                    chunks.append(np.zeros(sil, np.float32))
+                    if e is not None:
+                        echunks.append(np.zeros(sil, np.float32))
+                    remaining -= sil
+            else:
+                start = rng.randint(0, n - remaining)
+                chunks.append(a[start: start + remaining])
+                if e is not None:
+                    echunks.append(e[start: start + remaining])
+                remaining = 0
+        out = np.concatenate(chunks)
+        eout = np.concatenate(echunks) if echunks else None
+        return out, eout, ids, is_real
+
+    def _iter_segment_batches(self, seed: int, rng: random.Random
+                              ) -> tp.Iterator[ShardBatch]:
+        """Fixed-segment epoch: items are concat-with-silence compositions
+        (reference ShardSegment); aux decisions follow the same probability
+        knobs as the bucketing path."""
+        t = self.segment_size
+        b_items = max(int(self.max_duration * self.sr / t), 1)
+        speech_iter = (c for c in self.speech.iter_cuts(seed)
+                       if c.id not in self.ids_to_filter)
+
+        def draw_speech() -> Cut:
+            return next(speech_iter)  # StopIteration ends the epoch
+
+        while True:
+            items = []
+            try:
+                for _ in range(b_items):
+                    use_codec = rng.random() < self.p_codec
+                    r = rng.random()
+                    echo_type = ("full" if r < self.p_fe_echo else
+                                 "farend_only"
+                                 if r < self.p_fe_echo + self.p_fe_only
+                                 else "none")
+                    clean, codec, ids, _ = self._gen_stream(
+                        draw_speech, t, rng,
+                        extra="codec" if use_codec else None)
+                    items.append({"clean": clean,
+                                  "speech": codec if use_codec else clean,
+                                  "ids": ids, "echo_type": echo_type})
+            except StopIteration:
+                if not items:
+                    return
+            b = len(items)
+            speech = np.stack([i["speech"] for i in items])[:, None]
+            clean = np.stack([i["clean"] for i in items])[:, None]
+            farend = echo = None
+            is_real = np.zeros(b, bool)
+            if self.farend_echo is not None and any(
+                    i["echo_type"] != "none" for i in items):
+                farend = np.zeros((b, 1, t), np.float32)
+                echo = np.zeros((b, 1, t), np.float32)
+                for k, it in enumerate(items):
+                    if it["echo_type"] == "none":
+                        continue
+                    fe, ec, _, real = self._gen_stream(
+                        self.farend_echo.draw, t, rng,
+                        extra="echo" if it["echo_type"] == "full" else None)
+                    farend[k, 0] = fe
+                    if ec is not None:
+                        echo[k, 0] = ec
+                    is_real[k] = real
+            noise = None
+            if self.noise is not None and self.p_noise > 0:
+                noise = np.zeros((b, 1, t), np.float32)
+                for k, it in enumerate(items):
+                    if is_real[k] and it["echo_type"] == "full":
+                        continue
+                    if rng.random() < self.p_noise:
+                        noise[k, 0] = self._gen_stream(
+                            self.noise.draw, t, rng)[0]
+            t_rir = int(0.5 * self.sr)
+            rir = np.zeros((b, 1, t_rir), np.float32)
+            rir[:, 0, 0] = 1.0
+            rir_onset = np.zeros(b, np.int64)
+            rir_t60 = np.full(b, 1e-3, np.float32)
+            for k, it in enumerate(items):
+                # reverb is exclusive with codec (joint draw in the
+                # bucketing path); independent of echo
+                if (self.rir is not None
+                        and it["speech"] is it["clean"]
+                        and rng.random() < self.p_reverb):
+                    r_, onset, t60 = self._pick_rir(rng, t_rir)
+                    rir[k, 0, : len(r_)] = r_
+                    rir_onset[k] = onset
+                    rir_t60[k] = t60
+            text = None
+            if self.text_field:
+                text = ["" for _ in items]
+            yield ShardBatch(
+                speech=speech, speech_clean=clean, noise=noise,
+                rir=rir, rir_onset=rir_onset, rir_t60=rir_t60,
+                num_samples=np.full(b, t, np.int64),
+                id_speech=["|".join(i["ids"]) for i in items],
+                farend=farend, echo=echo,
+                is_real=is_real if farend is not None else None, text=text)
+
     def _iter_batches(self, seed: int) -> tp.Iterator[ShardBatch]:
         rng = random.Random(seed)
         if self.noise:
@@ -478,6 +610,9 @@ class ShardDataset:
             self.rir.reset(seed + 2)
         if self.farend_echo:
             self.farend_echo.reset(seed + 3)
+        if self.segment and self.segment_size:
+            yield from self._iter_segment_batches(seed, rng)
+            return
         buckets: tp.List[tp.List[Cut]] = [[] for _ in range(self.num_buckets)]
         bucket_dur = [0.0] * self.num_buckets
         step = (self.max_utt - self.min_utt) / self.num_buckets

@@ -483,3 +483,28 @@ def test_shard_dataset_filter_padmode_text(shards):
         assert (live.mean(axis=1) > 0.9).all()
         assert b.text is not None and len(b.text) == len(b.id_speech)
     ds.release_auxiliary()
+
+
+def test_segment_mode_concat_with_silence(shards):
+    """Segment items are multi-cut compositions separated by silence gaps
+    (reference shard_segment.py _gen_speech), not single wrap-cropped cuts."""
+    hp = _hp(shards, segment=True)
+    hp.train["segment_size"] = 3 * SR  # longer than any fixture cut (<=2 s)
+    hp.train["silence_length"] = 0.1
+    hp.train["prob_speech_reverb"] = 0.0
+    ds = ShardDataset(hp, mode="train", segment=True)
+    ds.set_epoch(0)
+    b = next(iter(ds))
+    assert b.speech.shape[-1] == 3 * SR
+    assert (b.num_samples == 3 * SR).all()
+    for k, ids in enumerate(b.id_speech):
+        assert "|" in ids  # every item composed from >1 cut
+        # a silence gap exists: a run of exact zeros >= 0.05 s
+        x = b.speech_clean[k, 0]
+        zero = (x == 0).astype(np.int32)
+        runs, best = 0, 0
+        for z in zero:
+            runs = runs + 1 if z else 0
+            best = max(best, runs)
+        assert best >= int(0.05 * SR), best
+    ds.release_auxiliary()
