@@ -220,3 +220,23 @@ def test_parity_train_mode_batch_stats():
     np.testing.assert_allclose(
         np.asarray(new_stats["enc_pre"]["bn"]["mean"]),
         tmodel.enc_pre[1].running_mean.detach().numpy(), atol=1e-5)
+
+
+def test_stft_method_matmul_equivalent():
+    """stft_method='matmul' (MXU DFT, the bench default) matches the fft
+    form on both apply modes."""
+    kwargs = dict(channels=8, kernel_size=[4, 3], stride=4,
+                  rnnformer_kwargs=dict(num_blocks=1, channels=8, freq=8,
+                                        num_heads=2),
+                  n_fft=64, hop_size=32, win_size=64)
+    m_fft = get_model("fastenhancer.default", **kwargs)
+    m_mm = get_model("fastenhancer.default", stft_method="matmul", **kwargs)
+    variables = m_fft.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((2, 32 * 12)).astype(np.float32) * 0.1)
+    y1, _, _ = m_fft.forward(variables, wav, train=False)
+    y2, _, _ = m_mm.forward(variables, wav, train=False)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-5)
+    s1 = np.asarray(m_fft.stream(variables, wav))
+    s2 = np.asarray(m_mm.stream(variables, wav))
+    np.testing.assert_allclose(s2, s1, atol=1e-5)
