@@ -37,6 +37,11 @@ def main():
                     help="serialize the compiled step via jax.export")
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--no-fold", action="store_true")
+    ap.add_argument("--stft-method", default=None,
+                    choices=["fft", "matmul"],
+                    help="override the STFT form for the exported step "
+                         "(matmul = MXU windowed DFT, ~25%% faster per-frame "
+                         "streaming on TPU; math-identical)")
     ap.add_argument("--spec2spec", action="store_true",
                     help="compile the spec-in/spec-out step (STFT outside), "
                          "the form the paper's RTFs use "
@@ -56,6 +61,12 @@ def main():
     if not wrapper.load(args.epoch):
         raise FileNotFoundError(f"no checkpoint in {hps.base_dir}")
     model = wrapper.model
+    if args.stft_method:
+        import dataclasses
+
+        model.stft_cfg = dataclasses.replace(model.stft_cfg,
+                                             method=args.stft_method)
+        print(f"stft method -> {args.stft_method}")
     variables = jax.tree.map(lambda x: x, wrapper.state["variables"],
                              is_leaf=lambda x: x is None)
     if not args.no_fold:
