@@ -25,6 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fastenhancer_tpu.utils.platform import honor_jax_platforms
+
+honor_jax_platforms()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +38,9 @@ def main():
     from __graft_entry__ import FLAGSHIP_KWARGS
     from fastenhancer_tpu.models.fastenhancer.default import Model
 
+    # BENCH_CONFIG=configs/fastenhancer_48khz/b.yaml benches any recipe's
+    # model (name defaults to FastEnhancer_B when unset)
+    cfg_path = os.environ.get("BENCH_CONFIG")
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     streams = int(os.environ.get("BENCH_STREAMS", 256 if on_tpu else 8))
@@ -49,7 +56,18 @@ def main():
     stft_method = os.environ.get("BENCH_STFT", "matmul")
 
     sr = 16_000
-    model = Model(**FLAGSHIP_KWARGS, stft_method=stft_method)
+    label = "FastEnhancer_B"
+    kwargs = dict(FLAGSHIP_KWARGS)
+    if cfg_path:
+        import yaml
+
+        cfg = yaml.safe_load(open(cfg_path))
+        assert cfg["model"] == "fastenhancer.default", cfg["model"]
+        kwargs = cfg["model_kwargs"]
+        sr = cfg["data"]["sampling_rate"]
+        label = (f"{os.path.basename(os.path.dirname(cfg_path))}/"
+                 f"{os.path.splitext(os.path.basename(cfg_path))[0]}")
+    model = Model(**kwargs, stft_method=stft_method)
     variables = model.init(jax.random.PRNGKey(0))
     variables = model.fold(variables)  # deploy-time reparam removal
     if dtype != jnp.float32:
@@ -83,8 +101,8 @@ def main():
     rtf = wall / (audio_sec * streams)
 
     print(json.dumps({
-        "metric": f"FastEnhancer_B per-stream streaming RTF "
-                  f"({streams} concurrent 16kHz streams, {platform}, "
+        "metric": f"{label} per-stream streaming RTF "
+                  f"({streams} concurrent {sr//1000}kHz streams, {platform}, "
                   f"{jnp.dtype(dtype).name}, chunk={chunk}, "
                   f"stft={stft_method})",
         "value": round(rtf, 7),
