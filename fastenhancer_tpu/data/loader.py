@@ -93,13 +93,19 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(collate(items, self.pad_multiple))
-            q.put(None)
+            from .shard import _put_until_stop
+
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        if not _put_until_stop(
+                                q, collate(items, self.pad_multiple), stop):
+                            return
+            finally:
+                _put_until_stop(q, None, stop)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

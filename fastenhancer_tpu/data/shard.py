@@ -46,6 +46,20 @@ from .audio_io import _read_riff
 SHARD_DEBUG = bool(os.environ.get("SHARD_DEBUG"))
 
 
+def _put_until_stop(q: "queue.Queue", item, stop: "threading.Event",
+                    timeout: float = 0.25) -> bool:
+    """q.put that gives up when stop is set (a plain q.put blocks FOREVER if
+    the consumer abandoned the queue mid-epoch — e.g. steps_per_epoch break —
+    leaking the producer thread and its open tar handles)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=timeout)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def _decode_audio(name: str, payload: bytes) -> np.ndarray:
     if name.endswith((".wav", ".WAV")):
         fh = io.BytesIO(payload)
@@ -646,11 +660,10 @@ class ShardDataset:
         def produce():
             try:
                 for batch in self._iter_batches(seed):
-                    if stop.is_set():
+                    if not _put_until_stop(q, batch, stop):
                         return
-                    q.put(batch)
             finally:
-                q.put(None)
+                _put_until_stop(q, None, stop)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
