@@ -508,3 +508,19 @@ def test_segment_mode_concat_with_silence(shards):
             best = max(best, runs)
         assert best >= int(0.05 * SR), best
     ds.release_auxiliary()
+
+
+def test_fast_tar_walker_matches_tarfile(shards):
+    """The manual ustar walker yields exactly what the stdlib tarfile path
+    yields (stems and bit-identical audio), with no duplicates."""
+    import tarfile as tf
+    tar_path = os.path.join(shards["speech"], "recording.000000.tar")
+    fast = list(ShardSource._iter_tar_audio(tar_path))
+    from fastenhancer_tpu.data.shard import _decode_audio
+    with tf.open(tar_path) as tar:
+        ref = [(os.path.basename(m.name).rsplit(".", 1)[0],
+                _decode_audio(m.name, tar.extractfile(m).read()))
+               for m in tar if m.isfile()]
+    assert [s for s, _ in fast] == [s for s, _ in ref]
+    for (_, a), (_, b) in zip(fast, ref):
+        np.testing.assert_array_equal(a, b)
