@@ -328,10 +328,17 @@ def test_segmental_rms_pallas_interpret():
 
 
 def test_ns_shard_training_smoke(shards, tmp_path):
-    """Two steps of real shard training through the ns_shard wrapper."""
+    """Two steps of real shard training through the ns_shard wrapper.
+
+    Runs in a SUBPROCESS: compiling this pjit train program (8 virtual
+    devices + fused DynamicMixer) segfaults inside XLA:CPU
+    backend_compile_and_load when the interpreter has already compiled the
+    rest of the suite (reproducible at the same spot in 3 full-suite runs;
+    passes in any fresh process). Isolation keeps the end-to-end coverage
+    and sidesteps the in-process compiler crash."""
+    import subprocess
+    import textwrap
     import yaml
-    from fastenhancer_tpu.utils.hparams import HParams
-    from fastenhancer_tpu.wrappers import get_wrapper
 
     cfg = yaml.safe_load(open("configs/fastenhancer_shard/t.yaml"))
     cfg["model_kwargs"].update({"channels": 8, "kernel_size": [4, 3]})
@@ -352,17 +359,31 @@ def test_ns_shard_training_smoke(shards, tmp_path):
     cfg["train"]["test"] = True
     cfg["train"]["losses"] = {"si_snr": {"weight": 1.0}}
     cfg.pop("pesq", None)
-    hps = HParams(**cfg)
-    hps.base_dir = str(tmp_path)
-
-    wrapper = get_wrapper("ns_shard")(hps, train=True)
-    from fastenhancer_tpu.data import get_dataset_dataloader
-    ds, loader = get_dataset_dataloader(hps, "train", wrapper.keys)
-    ds.set_epoch(1)
-    wrapper.epoch = 1
-    wrapper.steps_per_epoch = 2
-    summary = wrapper.train_epoch(loader)
-    assert np.isfinite(summary["scalars"]["loss/si_snr"])
+    cfg_path = tmp_path / "shard_smoke.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    driver = textwrap.dedent(f"""
+        import sys, yaml, numpy as np
+        sys.path.insert(0, "/root/repo")
+        from fastenhancer_tpu.utils.hparams import HParams
+        from fastenhancer_tpu.wrappers import get_wrapper
+        from fastenhancer_tpu.data import get_dataset_dataloader
+        hps = HParams(**yaml.safe_load(open({str(cfg_path)!r})))
+        hps.base_dir = {str(tmp_path)!r}
+        wrapper = get_wrapper("ns_shard")(hps, train=True)
+        ds, loader = get_dataset_dataloader(hps, "train", wrapper.keys)
+        ds.set_epoch(1)
+        wrapper.epoch = 1
+        wrapper.steps_per_epoch = 2
+        summary = wrapper.train_epoch(loader)
+        assert np.isfinite(summary["scalars"]["loss/si_snr"])
+        print("SHARD_SMOKE_OK", summary["scalars"]["loss/si_snr"])
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    run = subprocess.run([sys.executable, "-c", driver], env=env,
+                         capture_output=True, text=True, timeout=600,
+                         cwd="/root/repo")
+    assert run.returncode == 0, run.stderr[-3000:]
+    assert "SHARD_SMOKE_OK" in run.stdout
 
 
 def test_multifield_shard_source(shards):
