@@ -104,6 +104,9 @@ class DataLoader:
                         if not _put_until_stop(
                                 q, collate(items, self.pad_multiple), stop):
                             return
+            except BaseException as e:  # propagate: a dead loader must not
+                _put_until_stop(q, e, stop)  # silently yield empty epochs
+                return
             finally:
                 _put_until_stop(q, None, stop)
 
@@ -114,6 +117,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

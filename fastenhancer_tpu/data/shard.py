@@ -738,6 +738,9 @@ class ShardDataset:
                 for batch in ds._iter_batches(base_seed + w, stride=(w, nw)):
                     if not _put_until_stop(q, batch, stop):
                         return
+            except BaseException as e:  # propagate: a dead producer must
+                _put_until_stop(q, e, stop)  # not silently starve training
+                return
             finally:
                 _put_until_stop(q, None, stop)
 
@@ -752,6 +755,8 @@ class ShardDataset:
                 if batch is None:
                     done += 1
                     continue
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

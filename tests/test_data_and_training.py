@@ -144,3 +144,25 @@ def test_smoke_training_cli(corpus, tmp_path):
         capture_output=True, text=True, env=env, timeout=900)
     assert run2.returncode == 0, run2.stderr[-3000:]
     assert "loaded checkpoint" in run2.stdout
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    """A crashing dataset item must raise in the consumer, not silently end
+    the epoch (regression: a 48k/16k sr mismatch produced 300 empty epochs
+    with exit code 0)."""
+    from fastenhancer_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def batches(self):
+            return None
+
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    loader = DataLoader(Bad(), batch_size=2, num_workers=1)
+    with pytest.raises(ValueError, match="boom"):
+        for _ in loader:
+            pass

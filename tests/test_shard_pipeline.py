@@ -545,3 +545,22 @@ def test_fast_tar_walker_matches_tarfile(shards):
     assert [s for s, _ in fast] == [s for s, _ in ref]
     for (_, a), (_, b) in zip(fast, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_shard_producer_propagates_errors(tmp_path):
+    """A corrupt shard tar must raise in the training loop, not end the
+    epoch silently."""
+    d = tmp_path / "broken"
+    d.mkdir()
+    (d / "recording.000000.tar").write_bytes(b"not a tar at all" * 64)
+    with gzip.open(d / "cuts.000000.jsonl.gz", "wt") as f:
+        f.write(json.dumps({"id": "x", "duration": 1.0}) + "\n")
+    hp = HParams(**{"sampling_rate": SR, "max_duration": 4.0, "train": {
+        "inputs": {"speech": [{"shard_dir": str(d)}]},
+        "num_buckets": 2, "max_utt_duration": 20.0,
+        "min_utt_duration": 0.1, "prob_noise": 0.0}})
+    ds = ShardDataset(hp, mode="train")
+    ds.set_epoch(0)
+    with pytest.raises(Exception):
+        for _ in ds:
+            pass
