@@ -18,9 +18,16 @@ def get_dataset_dataloader(
     keys: tp.List[str],
     textprocessor=None,
     n_devices: int = 1,
-    rank: int = 0,
+    rank: tp.Optional[int] = None,
 ) -> tp.Tuple[tp.Any, DataLoader]:
-    del rank  # single-process SPMD: the loader serves the global batch
+    # Multihost: each process loads its own slice of the global batch
+    # (DistributedSampler(shuffle=False) semantics, reference
+    # utils/data/__init__.py:79-81). Single host: world=1, a no-op.
+    import jax
+
+    world = jax.process_count()
+    if rank is None:
+        rank = jax.process_index()
     dataset_name = hps["data"]["dataset"]
     if not isinstance(dataset_name, str):
         dataset_name = dataset_name[mode]
@@ -35,7 +42,8 @@ def get_dataset_dataloader(
         from .shard import build_shard_dataloader
 
         return build_shard_dataloader(hps, mode=mode, keys=keys,
-                                      segment=(dataset_name == "ShardSegment"))
+                                      segment=(dataset_name == "ShardSegment"),
+                                      rank=rank)
     else:
         raise ValueError(f"unknown dataset: {dataset_name}")
 
@@ -66,7 +74,8 @@ def get_dataset_dataloader(
                   batch_size=batch_size * n_devices)
     loader = DataLoader(dataset, batch_size=batch_size,
                         num_workers=max(num_workers, 1),
-                        drop_last=drop_last, pad_multiple=pad_multiple)
+                        drop_last=drop_last, pad_multiple=pad_multiple,
+                        process_stride=(rank, world))
     return dataset, loader
 
 

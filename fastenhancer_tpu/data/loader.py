@@ -62,6 +62,7 @@ class DataLoader:
         drop_last: bool = False,
         pad_multiple: int = 1,
         prefetch: int = 2,
+        process_stride: tp.Tuple[int, int] = (0, 1),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +70,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.pad_multiple = pad_multiple
         self.prefetch = prefetch
+        # (rank, world): each process serves batches[rank::world]
+        # (DistributedSampler(shuffle=False) semantics)
+        self.process_stride = process_stride
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -85,7 +89,8 @@ class DataLoader:
                    for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
-        return batches
+        r, w = self.process_stride
+        return batches[r::w] if w > 1 else batches
 
     def __iter__(self) -> tp.Iterator[Batch]:
         batches = self._index_batches()

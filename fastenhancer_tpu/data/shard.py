@@ -762,6 +762,8 @@ class ShardDataset:
             stop.set()
 
 
-def build_shard_dataloader(hps, mode: str, keys, segment: bool = False):
-    dataset = ShardDataset(hps["data"], keys, mode=mode, segment=segment)
+def build_shard_dataloader(hps, mode: str, keys, segment: bool = False,
+                           rank: int = 0):
+    dataset = ShardDataset(hps["data"], keys, mode=mode, segment=segment,
+                           rank=rank)
     return dataset, dataset  # the dataset is its own (infinite-ish) loader

@@ -166,3 +166,27 @@ def test_loader_propagates_worker_errors(tmp_path):
     with pytest.raises(ValueError, match="boom"):
         for _ in loader:
             pass
+
+
+def test_loader_process_stride():
+    """Multihost: each process serves a disjoint batch stride covering the
+    dataset exactly once across processes."""
+    from fastenhancer_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 12
+
+        def batches(self):
+            return None
+
+        def __getitem__(self, i):
+            return {"x": np.full(3, i, np.float32)}
+
+    seen = []
+    for r in range(3):
+        loader = DataLoader(DS(), batch_size=2, num_workers=1,
+                            process_stride=(r, 3))
+        for b in loader:
+            seen.extend(b["x"][:, 0].astype(int).tolist())
+    assert sorted(seen) == list(range(12))
