@@ -184,11 +184,29 @@ class ModelWrapper:
             self.loss.accumulate(per_loss, real_b)
             if self.test and idx >= 10:
                 break
-        summary = {"scalars": self.loss.reduce()}
+        summary = {"scalars": self._merge_across_hosts(self.loss.reduce())}
         if calculate_metrics and self.metrics is not None and self.pesq_loader:
             self.calculate_metrics(self.pesq_loader)
-            summary["scalars"].update(self.metrics.retrieve(self.epoch))
+            summary["scalars"].update(self._merge_across_hosts(
+                self.metrics.retrieve(self.epoch)))
         return summary
+
+    @staticmethod
+    def _merge_across_hosts(scalars: tp.Dict[str, float]
+                            ) -> tp.Dict[str, float]:
+        """Multihost: each process evaluates a disjoint data stride; average
+        the scalar metrics across processes (reference: dist.reduce(SUM) to
+        rank 0, losses.py:215-232). Single host: no-op."""
+        import jax
+
+        if jax.process_count() == 1 or not scalars:
+            return scalars
+        from jax.experimental import multihost_utils
+
+        keys = sorted(scalars)
+        vals = np.asarray([float(scalars[k]) for k in keys], np.float32)
+        gathered = np.asarray(multihost_utils.process_allgather(vals))
+        return dict(zip(keys, gathered.mean(axis=0).tolist()))
 
     def calculate_metrics(self, dataloader) -> None:
         """Enhance the eval set and submit PESQ/STOI jobs
