@@ -21,12 +21,17 @@ def read_wav(path: str, sr: tp.Optional[int] = None) -> tp.Tuple[np.ndarray, int
     Multi-channel audio is averaged to mono (librosa.load default behavior).
     If `sr` is given and differs from the file rate, resample.
     """
-    with open(path, "rb") as fh:
-        header = fh.read(12)
-        if header[:4] == b"RIFF" and header[8:12] == b"WAVE":
-            x, file_sr = _read_riff(fh)
-        else:
-            raise ValueError(f"not a RIFF/WAVE file: {path}")
+    from .. import native
+
+    if native.available():
+        x, file_sr = native.read_wav_file(path)
+    else:
+        with open(path, "rb") as fh:
+            header = fh.read(12)
+            if header[:4] == b"RIFF" and header[8:12] == b"WAVE":
+                x, file_sr = _read_riff(fh)
+            else:
+                raise ValueError(f"not a RIFF/WAVE file: {path}")
     if x.ndim == 2:
         x = x.mean(axis=1)
     if sr is not None and sr != file_sr:

@@ -148,8 +148,20 @@ class ShardSource:
         """Sequential tar member reader. The stdlib tarfile module costs
         ~180us/member in header bookkeeping we don't need (profiled at 26%
         of shard-loading time); for plain ustar tars a manual walker is
-        ~10x cheaper (bit-identical output, tested)."""
+        ~10x cheaper (bit-identical output, tested). When the native C++
+        core is available (fastenhancer_tpu/native), tar walk + wav decode
+        + downmix run in one native pass that releases the GIL, so producer
+        threads scale across cores."""
         if cls._plain_ustar(tar_path):
+            from .. import native
+
+            if native.available():
+                for name, item in native.shard_members(tar_path):
+                    stem = os.path.basename(name).rsplit(".", 1)[0]
+                    if isinstance(item, bytes):  # non-wav: python decode
+                        item = _decode_audio(name, item)
+                    yield stem, item
+                return
             with open(tar_path, "rb") as f:
                 while True:
                     header = f.read(512)
