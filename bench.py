@@ -83,9 +83,11 @@ def main():
     wav = rng.standard_normal((streams, n_samples)).astype(np.float32) * 0.05
     wav = jnp.asarray(wav, dtype)
 
+    unroll = int(os.environ.get("BENCH_UNROLL", 4))
+
     @jax.jit
     def bench_fn(v, w):
-        out = model.stream(v, w, chunk_frames=chunk)
+        out = model.stream(v, w, chunk_frames=chunk, unroll=unroll)
         return jnp.mean(jnp.abs(out.astype(jnp.float32)))
 
     # compile + warmup (host fetch forces real execution)

@@ -695,9 +695,13 @@ class Model:
         return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
 
     def stream(self, variables: Params, wav: Array,
-               chunk_frames: int = 1) -> Array:
+               chunk_frames: int = 1, unroll: int = 4) -> Array:
         """Whole-utterance streaming via one lax.scan over frames (or
-        chunk_frames-sized blocks). wav [B, hop*T] -> [B, hop*T]."""
+        chunk_frames-sized blocks). wav [B, hop*T] -> [B, hop*T].
+
+        `unroll` replicates the scan body (math-identical; the per-frame
+        recurrence is unchanged) so XLA pipelines the small per-frame ops
+        across frames — measured faster at many-stream batch sizes."""
         b, length = wav.shape
         hop = self.hop_size
         t = length // hop
@@ -711,7 +715,8 @@ class Model:
                 return carry, y
 
             _, outs = jax.lax.scan(
-                cstep, self.init_streaming_carry(b, wav.dtype), blocks)
+                cstep, self.init_streaming_carry(b, wav.dtype), blocks,
+                unroll=unroll)
             return outs.swapaxes(0, 1).reshape(b, -1)
         hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
 
@@ -719,7 +724,8 @@ class Model:
             carry, y = self.streaming_step(variables, carry, x)
             return carry, y
 
-        _, outs = jax.lax.scan(step, self.init_streaming_carry(b, wav.dtype), hops)
+        _, outs = jax.lax.scan(step, self.init_streaming_carry(b, wav.dtype),
+                               hops, unroll=unroll)
         return outs.swapaxes(0, 1).reshape(b, -1)
 
     # -- deploy-time folding -----------------------------------------------------

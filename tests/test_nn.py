@@ -122,6 +122,22 @@ def test_attention_matches_torch_sdpa():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_attention_masked_lane_form_matches_einsum():
+    """The large-batch masked-lane attention (n >= 64) equals the head-dim
+    einsum form (n < 64) — both branches of fnn.attention, same math."""
+    c, nh, f = 36, 4, 24
+    rng = np.random.default_rng(1)
+    params = {"qkv": {
+        "weight": jnp.asarray(rng.standard_normal((3 * c, c)).astype(np.float32) * 0.1),
+        "bias": jnp.asarray(rng.standard_normal(3 * c).astype(np.float32) * 0.1)}}
+    x = jnp.asarray(rng.standard_normal((96, f, c)).astype(np.float32))
+    big = _np(fnn.attention(params, x, nh))                 # masked-lane branch
+    small = np.concatenate([
+        _np(fnn.attention(params, x[i: i + 32], nh))        # einsum branch
+        for i in range(0, 96, 32)])
+    np.testing.assert_allclose(big, small, atol=2e-6)
+
+
 def test_weight_norm_matches_torch():
     torch.manual_seed(0)
     lin = tnn.Linear(6, 9, bias=False)
