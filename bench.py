@@ -44,7 +44,10 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     streams = int(os.environ.get("BENCH_STREAMS", 256 if on_tpu else 8))
-    seconds = float(os.environ.get("BENCH_SECONDS", 10.0 if on_tpu else 1.0))
+    # measured: each jit dispatch through the axon tunnel costs ~24 ms
+    # regardless of work (a trivial scalar op takes the same); 30 s of audio
+    # keeps that fixed artifact <7% of the measurement
+    seconds = float(os.environ.get("BENCH_SECONDS", 30.0 if on_tpu else 1.0))
     reps = int(os.environ.get("BENCH_REPS", 5 if on_tpu else 2))
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_DTYPE", "bf16")]
@@ -84,6 +87,16 @@ def main():
     wav = jnp.asarray(wav, dtype)
 
     unroll = int(os.environ.get("BENCH_UNROLL", 4))
+
+    # BENCH_DEVICES=N shards the streams over an N-chip dp mesh (streaming
+    # inference is batch-parallel: no collectives, linear scaling over ICI)
+    n_dev = int(os.environ.get("BENCH_DEVICES", 1))
+    if n_dev > 1:
+        from fastenhancer_tpu.parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh(n_dev)
+        variables = replicate(variables, mesh)
+        wav = shard_batch(wav, mesh)
 
     @jax.jit
     def bench_fn(v, w):

@@ -63,16 +63,30 @@ def main():
 
     call = exp.call
     outs = []
+    ticks = []
     t0 = time.perf_counter()
     for i in range(hops.shape[0]):
+        t1 = time.perf_counter()
         carry, y = call(variables, carry, jax.numpy.asarray(hops[i]))
-        outs.append(np.asarray(y)[0])
+        y = np.asarray(y)  # host fetch = the frame is actually delivered
+        ticks.append(time.perf_counter() - t1)
+        outs.append(y[0])
     wall = time.perf_counter() - t0
     out = np.concatenate(outs)
     write_wav(args.output, out, sr)
-    rtf = wall / (t / sr)
-    print(f"streamed {t / args.sr:.1f}s in {wall:.2f}s (RTF {rtf:.4f}) "
+    # steady state excludes the first tick (artifact load/compile happens there)
+    steady = np.array(ticks[1:])
+    rtf = float(steady.sum()) / ((t - hop) / sr)
+    ticks_ms = np.sort(steady * 1000.0)
+    budget_ms = hop / sr * 1000.0
+    pct = lambda p: float(np.percentile(ticks_ms, p))
+    misses = float(np.mean(ticks_ms > budget_ms)) * 100.0
+    print(f"streamed {t / sr:.1f}s in {wall:.2f}s "
+          f"(steady-state RTF {rtf:.4f}, warm-up tick {ticks[0]:.2f}s) "
           f"-> {args.output}")
+    print(f"per-tick latency ms: p50 {pct(50):.2f}  p90 {pct(90):.2f}  "
+          f"p99 {pct(99):.2f}  (budget {budget_ms:.1f} ms/hop, "
+          f"{misses:.1f}% deadline misses)")
 
 
 if __name__ == "__main__":

@@ -148,3 +148,23 @@ def test_skip_nonfinite_grads():
         for a, b in zip(jax.tree.leaves(new_state["variables"]["params"]),
                         jax.tree.leaves(new_state2["variables"]["params"])))
     assert changed
+
+
+def test_stream_sharded_matches_single_device():
+    """Batched streaming inference sharded over the 8-device dp mesh equals
+    the single-device result (stream-parallel: no collectives in the graph).
+    This is the serving path bench.py exercises with BENCH_DEVICES>1."""
+    model = _tiny_model()
+    variables = model.fold(model.init(jax.random.PRNGKey(2)))
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal((8, 640)).astype(np.float32) * 0.1
+
+    @jax.jit
+    def run(v, w):
+        return model.stream(v, w)
+
+    mesh = make_mesh(8)
+    y1 = np.asarray(run(variables, jnp.asarray(wav)))
+    y8 = np.asarray(run(replicate(variables, mesh),
+                        shard_batch(jnp.asarray(wav), mesh)))
+    np.testing.assert_allclose(y8, y1, atol=1e-6)
