@@ -107,14 +107,33 @@ def main():
 
         from jax import export as jexport
 
-        exp = jexport.export(jax.jit(step))(variables, carry0, feed)
+        # pin to one device: jax.export bakes the device count into the
+        # artifact, and the runner is a single-device deployment surface
+        # (multi-chip serving shards streams in-process — see bench.py)
+        dev = jax.devices()[0]
+        exp = jexport.export(jax.jit(step, device=dev))(
+            jax.device_put(variables, dev), jax.device_put(carry0, dev),
+            jax.device_put(feed, dev))
         with open(args.save, "wb") as f:
             f.write(exp.serialize())
         host = jax.tree.map(
             lambda x: None if x is None else np.asarray(x),
             (variables, carry0), is_leaf=lambda x: x is None)
+        # DSP meta so the spec2spec runner can do STFT/iSTFT outside the
+        # artifact (reference: scripts/test_onnx_spec.py keeps the FFT out
+        # of the measured graph)
+        cfg = model.stft_cfg
+        meta = {
+            "sr": hps.data.sampling_rate,
+            "hop": cfg.hop_size,
+            "n_fft": cfg.n_fft,
+            "window": np.asarray(cfg.window_f32),
+            "synthesis_window": np.asarray(cfg.synthesis_window),
+            "compression": getattr(model, "input_compression", 1.0),
+            "normalized": bool(cfg.normalized),
+        }
         with open(args.save + ".params.pkl", "wb") as f:
-            pickle.dump((*host, hps.data.sampling_rate), f)
+            pickle.dump((*host, meta), f)
         print(f"serialized compiled step -> {args.save} "
               f"({os.path.getsize(args.save)} bytes) "
               f"+ {args.save}.params.pkl")

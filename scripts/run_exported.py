@@ -43,9 +43,14 @@ def main():
         exp = jexport.deserialize(f.read())
     with open(args.params, "rb") as f:
         payload = pickle.load(f)
+    meta = {}
     if len(payload) == 3:
-        variables, carry, sr = payload
-    else:  # older pickles without the rate
+        variables, carry, third = payload
+        if isinstance(third, dict):
+            meta, sr = third, third["sr"]
+        else:  # older pickles carried only the rate
+            sr = third
+    else:
         variables, carry = payload
         sr = args.sr
     variables = jax.tree.map(
@@ -53,26 +58,70 @@ def main():
         is_leaf=lambda x: x is None)
     carry = jax.tree.map(jax.numpy.asarray, carry)
 
-    # batch and hop size from the wav input's signature ([B, hop])
-    b, hop = exp.in_avals[-1].shape
+    feed_aval = exp.in_avals[-1]
+    spec2spec = feed_aval.ndim == 4  # [B, F, 1, 2] vs wav2wav [B, hop]
     wav, _ = read_wav(args.input, sr=sr)
-    t = len(wav) // hop * hop
-    # the artifact is compiled for B streams; replicate the mono input
-    hops = np.broadcast_to(
-        wav[:t].reshape(-1, 1, hop), (t // hop, b, hop)).astype(np.float32)
-
     call = exp.call
     outs = []
     ticks = []
-    t0 = time.perf_counter()
-    for i in range(hops.shape[0]):
-        t1 = time.perf_counter()
-        carry, y = call(variables, carry, jax.numpy.asarray(hops[i]))
-        y = np.asarray(y)  # host fetch = the frame is actually delivered
-        ticks.append(time.perf_counter() - t1)
-        outs.append(y[0])
-    wall = time.perf_counter() - t0
-    out = np.concatenate(outs)
+
+    if spec2spec:
+        # spec-domain artifact (reference: scripts/test_onnx_spec.py) —
+        # STFT/iSTFT + compression run here in numpy, outside the
+        # measured per-tick graph, exactly like the paper's RTF form
+        assert meta, "--spec2spec artifacts need the meta-carrying pickle"
+        b, f_in, _, _ = feed_aval.shape
+        hop, n_fft = int(meta["hop"]), int(meta["n_fft"])
+        window = meta["window"]
+        comp = float(meta["compression"])
+        t = (len(wav) - n_fft) // hop * hop + n_fft
+        idx = np.arange(0, t - n_fft + 1, hop)
+        frames = np.stack([wav[i: i + n_fft] for i in idx])
+        spec = np.fft.rfft(frames * window, axis=-1)[:, : f_in]
+        if meta.get("normalized"):
+            spec = spec / np.sqrt(n_fft)
+        spec = np.stack([spec.real, spec.imag], -1).astype(np.float32)
+        mag = np.maximum(np.sqrt((spec ** 2).sum(-1, keepdims=True)), 1e-5)
+        spec = spec * mag ** (comp - 1.0)
+        t0 = time.perf_counter()
+        for i in range(len(idx)):
+            feed = np.broadcast_to(spec[i][None, :, None, :],
+                                   (b, f_in, 1, 2))
+            t1 = time.perf_counter()
+            carry, y = call(variables, carry, jax.numpy.asarray(feed))
+            y = np.asarray(y)
+            ticks.append(time.perf_counter() - t1)
+            outs.append(y[0, :, 0, :])
+        wall = time.perf_counter() - t0
+        hat = np.stack(outs)  # [T, F, 2] compressed
+        mag = np.maximum(np.sqrt((hat ** 2).sum(-1, keepdims=True)), 1e-30)
+        hat = hat * mag ** (1.0 / comp - 1.0)
+        full = np.zeros((len(idx), n_fft // 2 + 1), np.complex64)
+        full[:, : f_in] = hat[..., 0] + 1j * hat[..., 1]
+        syn = np.fft.irfft(full, n=n_fft, axis=-1)
+        if meta.get("normalized"):
+            syn = syn * np.sqrt(n_fft)
+        syn = syn * meta["synthesis_window"]
+        out = np.zeros(t)
+        for j, i in enumerate(idx):
+            out[i: i + n_fft] += syn[j]
+        # offline OLA is input-aligned (no streaming n_fft-hop delay)
+    else:
+        # batch and hop size from the wav input's signature ([B, hop])
+        b, hop = feed_aval.shape
+        t = len(wav) // hop * hop
+        # the artifact is compiled for B streams; replicate the mono input
+        hops = np.broadcast_to(
+            wav[:t].reshape(-1, 1, hop), (t // hop, b, hop)).astype(np.float32)
+        t0 = time.perf_counter()
+        for i in range(hops.shape[0]):
+            t1 = time.perf_counter()
+            carry, y = call(variables, carry, jax.numpy.asarray(hops[i]))
+            y = np.asarray(y)  # host fetch = the frame is actually delivered
+            ticks.append(time.perf_counter() - t1)
+            outs.append(y[0])
+        wall = time.perf_counter() - t0
+        out = np.concatenate(outs)
     write_wav(args.output, out, sr)
     # steady state excludes the first tick (artifact load/compile happens there)
     steady = np.array(ticks[1:])

@@ -103,9 +103,11 @@ def test_collate_keys():
     assert out["filename"] == ["a", "b"]
 
 
-def test_smoke_training_cli(corpus, tmp_path):
-    """10-step smoke train via the real CLI (train.test=True), then resume.
+@pytest.fixture(scope="module")
+def smoke_run(corpus, tmp_path_factory):
+    """10-step CLI smoke train (train.test=True) shared by the CLI tests.
     Mirrors the reference's documented smoke recipe (SURVEY §4)."""
+    root = tmp_path_factory.mktemp("smoke_run")
     cfg = yaml.safe_load(open("configs/fastenhancer/t.yaml"))
     for mode in ("train", "valid", "pesq"):
         cfg["data"][mode]["clean_dir"] = str(corpus / "clean")
@@ -124,26 +126,69 @@ def test_smoke_training_cli(corpus, tmp_path):
     cfg["train"]["losses"].pop("pesq", None)  # pesq lib not in env
     cfg["pesq"]["interval"] = 1
     cfg["infer"]["interval"] = 1
-    cfg_path = tmp_path / "smoke.yaml"
+    cfg_path = root / "smoke.yaml"
     cfg_path.write_text(yaml.dump(cfg))
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     run = subprocess.run(
         [sys.executable, "train.py", "-n", "smoke", "-c", str(cfg_path),
-         "--base_dir", str(tmp_path / "logs")],
+         "--base_dir", str(root / "logs")],
         capture_output=True, text=True, env=env, timeout=900)
     assert run.returncode == 0, run.stderr[-3000:]
-    ckpts = os.listdir(tmp_path / "logs" / "smoke")
+    return root
+
+
+def test_smoke_training_cli(smoke_run):
+    ckpts = os.listdir(smoke_run / "logs" / "smoke")
     assert "00001.ckpt" in ckpts, ckpts
     assert "config.yaml" in ckpts
 
     # resume: config omitted -> loads run-dir config + latest ckpt
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
     run2 = subprocess.run(
         [sys.executable, "train.py", "-n", "smoke",
-         "--base_dir", str(tmp_path / "logs")],
+         "--base_dir", str(smoke_run / "logs")],
         capture_output=True, text=True, env=env, timeout=900)
     assert run2.returncode == 0, run2.stderr[-3000:]
     assert "loaded checkpoint" in run2.stdout
+
+
+def test_export_runner_roundtrip(smoke_run, corpus, tmp_path):
+    """Deploy path end-to-end: AOT export (wav2wav AND spec2spec) of the
+    smoke run, drive both artifacts with the artifact-only runner, and
+    check the two enhanced outputs agree (spec2spec output is aligned;
+    wav2wav is delayed n_fft - hop)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    wav_in = str(corpus / "noisy" / "f00.wav")
+    arts = {}
+    for mode, extra in (("w2w", []), ("s2s", ["--spec2spec"])):
+        art = str(tmp_path / f"{mode}.jaxexport")
+        r = subprocess.run(
+            [sys.executable, "-m", "scripts.export", "-n", "smoke",
+             "--base_dir", str(smoke_run / "logs"), "--save", art] + extra,
+            capture_output=True, text=True, env=env, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        out = str(tmp_path / f"out_{mode}.wav")
+        r = subprocess.run(
+            [sys.executable, "-m", "scripts.run_exported", art,
+             "--params", art + ".params.pkl", "-i", wav_in, "-o", out],
+            capture_output=True, text=True, env=env, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "per-tick latency" in r.stdout
+        arts[mode] = out
+
+    from fastenhancer_tpu.data.audio_io import read_wav
+
+    a, _ = read_wav(arts["w2w"])
+    b, _ = read_wav(arts["s2s"])
+    cfg = yaml.safe_load(open(smoke_run / "logs" / "smoke" / "config.yaml"))
+    delay = cfg["model_kwargs"]["n_fft"] - cfg["model_kwargs"]["hop_size"]
+    a = a[delay:]
+    n = min(len(a), len(b)) - 1024
+    x, y = a[512: n], b[512: n]
+    err = x - y
+    snr = 10 * np.log10((x ** 2).mean() / max(float((err ** 2).mean()), 1e-20))
+    assert snr > 40, f"wav2wav vs spec2spec disagree: {snr:.1f} dB"
 
 
 def test_loader_propagates_worker_errors(tmp_path):
