@@ -27,6 +27,7 @@ from ..optim import get_optimizer, get_scheduler
 from ..parallel import make_mesh, shard_batch, replicate, pad_batch_to
 from ..train import make_train_step, make_valid_step, make_infer_fn
 from ..train.checkpoint import save_checkpoint, latest_checkpoint, load_checkpoint
+from ..utils.profiler import make_profiler
 from ..utils.terminal import verbose, clear_current_line
 from ..functional import stft as _stft_fn, STFTConfig
 
@@ -63,6 +64,7 @@ class ModelWrapper:
                 hp.max_epochs = 1
             self.print_interval: int = getattr(hp, "print_interval", 1)
             self.plot_param_and_grad = getattr(hp, "plot_param_and_grad", False)
+            self.profiler = make_profiler(hp, self.base_dir)
             # fp16:True in reference configs -> bf16 on TPU (no GradScaler)
             use_mixed = getattr(hp, "fp16", False) or getattr(hp, "bf16", False)
             self.compute_dtype = jnp.bfloat16 if use_mixed else None
@@ -156,9 +158,13 @@ class ModelWrapper:
                       f"{self.loss.print()}"
                       f"  [{int(dt)}/{int(dt / idx * max_items)} sec]",
                       end="", flush=True)
+            if self.profiler is not None:
+                self.profiler.step()
             self.scheduler.warmup_step()
             if self.test and idx >= 10:
                 break
+        if self.profiler is not None:
+            self.profiler.close()
         if verbose():
             clear_current_line()
         self.scheduler.step()

@@ -102,9 +102,13 @@ class ModelWrapper(BaseModelWrapper):
                       f"  [load {t_load:.1f}s step {t_step:.1f}s"
                       f" | {int(dt)}/{int(dt / idx * max_items)} sec]",
                       end="", flush=True)
+            if self.profiler is not None:
+                self.profiler.step()
             self.scheduler.warmup_step()
             if self.test and idx >= 50:
                 break
+        if self.profiler is not None:
+            self.profiler.close()
         if verbose():
             clear_current_line()
             print(f"epoch {self.epoch} timing: load {t_load:.1f}s "

@@ -1,4 +1,5 @@
 """Data layer + end-to-end smoke training over a synthetic VBD-style corpus."""
+import glob
 import os
 import subprocess
 import sys
@@ -122,7 +123,8 @@ def smoke_run(corpus, tmp_path_factory):
     cfg["model_kwargs"].update({"channels": 8, "kernel_size": [4, 3]})
     cfg["model_kwargs"]["rnnformer_kwargs"].update(
         {"num_blocks": 1, "channels": 8, "freq": 8, "num_heads": 2})
-    cfg["train"].update({"test": True, "batch_size": 2, "num_workers": 1})
+    cfg["train"].update({"test": True, "batch_size": 2, "num_workers": 1,
+                         "profile": {"start": 2, "steps": 2}})
     cfg["train"]["losses"].pop("pesq", None)  # pesq lib not in env
     cfg["pesq"]["interval"] = 1
     cfg["infer"]["interval"] = 1
@@ -142,6 +144,11 @@ def test_smoke_training_cli(smoke_run):
     ckpts = os.listdir(smoke_run / "logs" / "smoke")
     assert "00001.ckpt" in ckpts, ckpts
     assert "config.yaml" in ckpts
+
+    # train.profile wrote a step-window XLA trace next to the TB events
+    traces = glob.glob(str(smoke_run / "logs" / "smoke" / "profile" / "**" /
+                           "*.trace.json.gz"), recursive=True)
+    assert traces, "train.profile produced no trace files"
 
     # resume: config omitted -> loads run-dir config + latest ckpt
     env = dict(os.environ, JAX_PLATFORMS="cpu")
