@@ -91,6 +91,15 @@ def main():
     # BENCH_DEVICES=N shards the streams over an N-chip dp mesh (streaming
     # inference is batch-parallel: no collectives, linear scaling over ICI)
     n_dev = int(os.environ.get("BENCH_DEVICES", 1))
+
+    # fused Pallas block-stack kernel (ops/rnnformer_stack.py): measured
+    # 239 -> 165 us/frame end-to-end at 256 streams on v5e (1.45x), parity
+    # ~1e-7. Default ON for single-chip per-frame streaming; BENCH_FUSED=0
+    # reverts to the pure-XLA scan body. (Pallas calls do not auto-partition
+    # over a mesh, so the multi-chip path stays XLA.)
+    use_fused = (os.environ.get("BENCH_FUSED", "1") == "1" and chunk == 1
+                 and n_dev == 1 and not model.rf.post_act)
+    fused_plan = model.build_stack_plan(variables) if use_fused else None
     if n_dev > 1:
         from fastenhancer_tpu.parallel import make_mesh, replicate, shard_batch
 
@@ -100,7 +109,8 @@ def main():
 
     @jax.jit
     def bench_fn(v, w):
-        out = model.stream(v, w, chunk_frames=chunk, unroll=unroll)
+        out = model.stream(v, w, chunk_frames=chunk, unroll=unroll,
+                           fused_plan=fused_plan)
         return jnp.mean(jnp.abs(out.astype(jnp.float32)))
 
     # compile + warmup (host fetch forces real execution)
@@ -119,7 +129,8 @@ def main():
         "metric": f"{label} per-stream streaming RTF "
                   f"({streams} concurrent {sr//1000}kHz streams, {platform}, "
                   f"{jnp.dtype(dtype).name}, chunk={chunk}, "
-                  f"stft={stft_method})",
+                  f"stft={stft_method}"
+                  f"{', fused-stack' if use_fused else ''})",
         "value": round(rtf, 7),
         "unit": "RTF wall/(audio*streams), lower=better",
         "vs_baseline": round(rtf / 0.002, 4),

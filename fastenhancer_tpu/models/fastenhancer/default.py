@@ -466,7 +466,27 @@ class Model:
 
         Reference: models/.../model.py:620-675 (model_forward).
         """
-        cfg, rf = self, self.rf
+        x, x_res, skips, b, t, new_stats = self._encode(params, stats, spec,
+                                                        train=train)
+
+        h_out: tp.List[Array] = []
+        for i, (bp, bs) in enumerate(zip(params["rf_blocks"], stats["rf_blocks"])):
+            h_i = None if h0 is None else h0[i]
+            x, h_t, s = self._block_apply(bp, bs, x, h_i, train=train)
+            h_out.append(h_t)
+            if s is not None:
+                new_stats["rf_blocks"][i] = s
+
+        mask = self._decode(params, stats, new_stats, x, x_res, skips, b, t,
+                            spec.shape[1], train=train)
+        return mask, h_out, new_stats
+
+    def _encode(
+        self, params: Params, stats: Params, spec: Array, train: bool = False
+    ) -> tp.Tuple[Array, Array, tp.List[Array], int, int, Params]:
+        """Everything before the block stack: spec [B, F, T, 2] ->
+        (x [T, B, F', C'], rf_pre residual, skips, b, t, new_stats)."""
+        cfg = self
         b, f_in, t, _ = spec.shape
         new_stats = jax.tree.map(lambda x: x, stats)  # structural copy
 
@@ -502,16 +522,18 @@ class Model:
         # [B*T, F', C'] -> [T, B, F', C']
         cc = x.shape[-1]
         x = x.reshape(b, t, self.block_freq, cc).transpose(1, 0, 2, 3)
+        return x, x_res, skips, b, t, new_stats
 
-        h_out: tp.List[Array] = []
-        for i, (bp, bs) in enumerate(zip(params["rf_blocks"], stats["rf_blocks"])):
-            h_i = None if h0 is None else h0[i]
-            x, h_t, s = self._block_apply(bp, bs, x, h_i, train=train)
-            h_out.append(h_t)
-            if s is not None:
-                new_stats["rf_blocks"][i] = s
-
+    def _decode(
+        self, params: Params, stats: Params, new_stats: Params, x: Array,
+        x_res: Array, skips: tp.List[Array], b: int, t: int, f_in: int,
+        train: bool = False,
+    ) -> Array:
+        """Everything after the block stack: x [T, B, F', C'] -> mask
+        [B, F, T, 2]. Mutates new_stats for the post-block BNs in train."""
+        cfg = self
         # [T, B, F', C'] -> [B*T, F', C']
+        cc = x.shape[-1]
         x = x.transpose(1, 0, 2, 3).reshape(b * t, self.block_freq, cc)
         w_post = params["rf_post"]["lin"]["weight"]
         x = jnp.einsum("oF,nFc->noc", w_post, x)
@@ -550,7 +572,7 @@ class Model:
 
         mask = self.mask_act(x)
         mask = mask.reshape(b, t, f_in, 2).transpose(0, 2, 1, 3)  # [B, F, T, 2]
-        return mask, h_out, new_stats
+        return mask
 
     def _block_apply(
         self,
@@ -671,6 +693,54 @@ class Model:
         wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"], self.stft_cfg)
         return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
 
+    # -- fused-stack streaming (Pallas) -----------------------------------------
+
+    def build_stack_plan(self, variables: Params, dtype=None) -> Params:
+        """Pack FOLDED rf_blocks params for the fused Pallas stack kernel
+        (ops/rnnformer_stack.py). `variables` must be Model.fold() output —
+        the kernel implements only the deploy-time block form (no BN, no
+        pre-norms, post_act=False)."""
+        if self.rf.post_act:
+            raise NotImplementedError("fused stack: post_act recipes")
+        from ...ops.rnnformer_stack import plan_stack
+
+        for bs in variables["stats"]["rf_blocks"]:
+            if bs:  # non-empty stats == unfolded BN still present
+                raise ValueError("build_stack_plan expects fold() output")
+        plan = plan_stack(variables["params"]["rf_blocks"], self.block_freq,
+                          self.rf.num_heads)
+        if dtype is not None:
+            plan = jax.tree.map(lambda a: a.astype(dtype), plan)
+        return plan
+
+    def streaming_step_fused(
+        self, variables: Params, plan: Params, carry: Params, wav_hop: Array
+    ) -> tp.Tuple[Params, Array]:
+        """streaming_step with the block stack fused into one Pallas program
+        — measured 163 -> 116 µs/frame for the 3-block stack at 256 streams
+        on v5e (slope-timed; docs/performance.md). Math matches
+        streaming_step on folded variables (tested)."""
+        from ...ops.rnnformer_stack import rnnformer_stack_step
+
+        params, stats = variables["params"], variables["stats"]
+        spec, stft_c = stft_streaming_step(wav_hop, carry["stft"], self.stft_cfg)
+        spec = spec[:, :-1]
+        spec = compress(spec[:, :, None, :], self.input_compression)
+        x, x_res, skips, b, t, _ = self._encode(params, stats, spec, train=False)
+        h = carry["h"]                     # stacked [NB, B*F', C]
+        if isinstance(h, (list, tuple)):
+            h = jnp.stack(h)
+        y, h_t = rnnformer_stack_step(plan, x[0], h, self.rf.num_heads)
+        mask = self._decode(params, stats, stats, y[None], x_res, skips, b, t,
+                            spec.shape[1], train=False)
+        spec_hat = self.complex_mask_mul(spec, mask)
+        spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
+        pad = jnp.zeros_like(spec_hat[:, :1])
+        spec_hat = jnp.concatenate([spec_hat, pad], axis=1)
+        wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"],
+                                                self.stft_cfg)
+        return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
+
     def streaming_chunk(
         self, variables: Params, carry: Params, wav_chunk: Array
     ) -> tp.Tuple[Params, Array]:
@@ -695,16 +765,31 @@ class Model:
         return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
 
     def stream(self, variables: Params, wav: Array,
-               chunk_frames: int = 1, unroll: int = 4) -> Array:
+               chunk_frames: int = 1, unroll: int = 4,
+               fused_plan: tp.Optional[Params] = None) -> Array:
         """Whole-utterance streaming via one lax.scan over frames (or
         chunk_frames-sized blocks). wav [B, hop*T] -> [B, hop*T].
 
         `unroll` replicates the scan body (math-identical; the per-frame
         recurrence is unchanged) so XLA pipelines the small per-frame ops
-        across frames — measured faster at many-stream batch sizes."""
+        across frames — measured faster at many-stream batch sizes.
+        `fused_plan` (build_stack_plan() on folded variables) swaps the
+        block stack for the fused Pallas kernel."""
         b, length = wav.shape
         hop = self.hop_size
         t = length // hop
+        if fused_plan is not None:
+            hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
+            carry0 = self.init_streaming_carry(b, wav.dtype)
+            carry0["h"] = jnp.stack(carry0["h"])  # kernel carries stacked h
+
+            def fstep(carry, x):
+                carry, y = self.streaming_step_fused(variables, fused_plan,
+                                                     carry, x)
+                return carry, y
+
+            _, outs = jax.lax.scan(fstep, carry0, hops, unroll=unroll)
+            return outs.swapaxes(0, 1).reshape(b, -1)
         if chunk_frames > 1:
             t = (t // chunk_frames) * chunk_frames
             blocks = wav[:, : t * hop].reshape(

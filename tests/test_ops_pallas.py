@@ -32,3 +32,68 @@ def test_gru_scan_pallas_weight_norm_params():
     y_pal, _ = gru_pallas(params, x, interpret=True)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                atol=1e-5)
+
+
+# -- fused RNNFormer stack kernel (ops/rnnformer_stack.py) --------------------
+
+def _tiny_fastenhancer():
+    from fastenhancer_tpu.models.fastenhancer.default import Model
+
+    return Model(
+        channels=12, kernel_size=[4, 3], stride=4,
+        rnnformer_kwargs=dict(num_blocks=2, channels=8, freq=8, num_heads=2,
+                              positional_embedding="train"),
+        n_fft=128, hop_size=64, win_size=128, window="hann",
+        weight_norm=True, pre_post_init="linear_fixed",
+    )
+
+
+def test_rnnformer_stack_matches_block_apply():
+    model = _tiny_fastenhancer()
+    folded = model.fold(model.init(jax.random.PRNGKey(0)))
+    blocks = folded["params"]["rf_blocks"]
+    stats = folded["stats"]["rf_blocks"]
+    from fastenhancer_tpu.ops.rnnformer_stack import (plan_stack,
+                                                      rnnformer_stack_step)
+
+    b, f, c = 4, model.block_freq, model.block_channels
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, f, c)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((model.num_blocks, b * f, c)) * 0.1,
+                    jnp.float32)
+
+    x_ref = x[None]
+    h_refs = []
+    for i, (bp, bs) in enumerate(zip(blocks, stats)):
+        x_ref, h_t, _ = model._block_apply(bp, bs, x_ref, h[i], train=False)
+        h_refs.append(h_t)
+
+    plan = plan_stack(blocks, f, model.rf.num_heads)
+    x_out, h_out = rnnformer_stack_step(plan, x, h, model.rf.num_heads,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref[0]),
+                               atol=2e-5)
+    for i in range(model.num_blocks):
+        np.testing.assert_allclose(np.asarray(h_out[i]), np.asarray(h_refs[i]),
+                                   atol=2e-5)
+
+
+def test_stream_fused_matches_stream():
+    model = _tiny_fastenhancer()
+    folded = model.fold(model.init(jax.random.PRNGKey(1)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 64 * 20)) * 0.1, jnp.float32)
+    y_ref = model.stream(folded, wav)
+    y_fused = model.stream(folded, wav, fused_plan=plan)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-5)
+
+
+def test_build_stack_plan_rejects_unfolded():
+    import pytest
+
+    model = _tiny_fastenhancer()
+    variables = model.init(jax.random.PRNGKey(2))
+    with pytest.raises(ValueError):
+        model.build_stack_plan(variables)
