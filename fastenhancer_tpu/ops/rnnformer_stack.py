@@ -185,7 +185,9 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
         logits = _bdot(q, kblk, 2, 2) * scale            # [B, F, H*F] f32
         # grouped softmax over each head's F-lane block, via masked
         # reductions (Mosaic cannot lane-split [.., H*F] -> [.., H, F])
-        gm = gmask_ref[:]                                # [H, H*F] f32
+        # f32 compare: Mosaic has no bf16 cmpf, and a whole-plan bf16 cast
+        # (bench/serving) would otherwise turn this mask bf16
+        gm = gmask_ref[:].astype(jnp.float32)            # [H, H*F]
         mx = None
         for g in range(num_heads):
             mg = jnp.max(jnp.where(gm[g][None, None, :] > 0, logits, -1e30),

@@ -46,6 +46,11 @@ def main():
                     help="compile the spec-in/spec-out step (STFT outside), "
                          "the form the paper's RTFs use "
                          "(reference: scripts/export_onnx_spec.py)")
+    ap.add_argument("--fused", action="store_true",
+                    help="fuse the RNNFormer block stack into one Pallas "
+                         "program in the exported step (folded "
+                         "fastenhancer.default family only; 1.6x at 256 "
+                         "streams on v5e — see docs/performance.md)")
     args = ap.parse_args()
 
     import jax
@@ -91,6 +96,17 @@ def main():
 
         carry0 = model.init_streaming_carry(b)
         feed = jnp.zeros((b, n_freq_in, 1, 2), jnp.float32)
+    elif args.fused:
+        if args.no_fold:
+            ap.error("--fused requires folded variables (drop --no-fold)")
+        plan = model.build_stack_plan(variables)
+
+        def step(variables, carry, wav_hop):
+            return model.streaming_step_fused(variables, plan, carry, wav_hop)
+
+        carry0 = model.init_streaming_carry(b)
+        carry0["h"] = jnp.stack(carry0["h"])  # fused step carries stacked h
+        feed = jnp.zeros((b, hop), jnp.float32)
     else:
         def step(variables, carry, wav_hop):
             return model.streaming_step(variables, carry, wav_hop)
