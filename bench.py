@@ -92,13 +92,17 @@ def main():
     # inference is batch-parallel: no collectives, linear scaling over ICI)
     n_dev = int(os.environ.get("BENCH_DEVICES", 1))
 
-    # fused Pallas block-stack kernel (ops/rnnformer_stack.py): measured
-    # 239 -> 165 us/frame end-to-end at 256 streams on v5e (1.45x), parity
-    # ~1e-7. Default ON for single-chip per-frame streaming; BENCH_FUSED=0
-    # reverts to the pure-XLA scan body. (Pallas calls do not auto-partition
-    # over a mesh, so the multi-chip path stays XLA.)
+    # fused Pallas block-stack kernel (ops/rnnformer_stack.py): 239 -> 147
+    # us/frame end-to-end at 256 streams on v5e (1.6x), parity ~1e-7.
+    # Default ON for single-chip per-frame 16 kHz-class streaming;
+    # BENCH_FUSED=0 reverts to the pure-XLA scan body. Pallas calls do not
+    # auto-partition over a mesh (multi-chip stays XLA); >512 streams blows
+    # the kernel's VMEM working set; the 48 kHz shapes (rows > 8192) hit a
+    # pathological Mosaic compile — any compile failure falls back to XLA.
     use_fused = (os.environ.get("BENCH_FUSED", "1") == "1" and chunk == 1
-                 and n_dev == 1 and not model.rf.post_act)
+                 and n_dev == 1 and streams <= 512
+                 and streams * model.block_freq <= 8192
+                 and not model.rf.post_act)
     fused_plan = model.build_stack_plan(variables) if use_fused else None
     if n_dev > 1:
         from fastenhancer_tpu.parallel import make_mesh, replicate, shard_batch
@@ -107,14 +111,26 @@ def main():
         variables = replicate(variables, mesh)
         wav = shard_batch(wav, mesh)
 
-    @jax.jit
-    def bench_fn(v, w):
-        out = model.stream(v, w, chunk_frames=chunk, unroll=unroll,
-                           fused_plan=fused_plan)
-        return jnp.mean(jnp.abs(out.astype(jnp.float32)))
+    def make_bench_fn(plan):
+        @jax.jit
+        def bench_fn(v, w):
+            out = model.stream(v, w, chunk_frames=chunk, unroll=unroll,
+                               fused_plan=plan)
+            return jnp.mean(jnp.abs(out.astype(jnp.float32)))
+        return bench_fn
 
+    bench_fn = make_bench_fn(fused_plan)
     # compile + warmup (host fetch forces real execution)
-    _ = float(bench_fn(variables, wav))
+    try:
+        _ = float(bench_fn(variables, wav))
+    except Exception:
+        if fused_plan is None:
+            raise
+        print("fused-stack kernel failed to compile here; "
+              "falling back to the XLA scan body", file=sys.stderr)
+        use_fused, fused_plan = False, None
+        bench_fn = make_bench_fn(None)
+        _ = float(bench_fn(variables, wav))
 
     times = []
     for _ in range(reps):
