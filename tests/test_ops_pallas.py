@@ -97,3 +97,32 @@ def test_build_stack_plan_rejects_unfolded():
     variables = model.init(jax.random.PRNGKey(2))
     with pytest.raises(ValueError):
         model.build_stack_plan(variables)
+
+
+def test_rnnformer_stack_with_attn_bias():
+    from fastenhancer_tpu.models.fastenhancer.default import Model
+    from fastenhancer_tpu.ops.rnnformer_stack import (plan_stack,
+                                                      rnnformer_stack_step)
+
+    model = Model(
+        channels=12, kernel_size=[4, 3], stride=4,
+        rnnformer_kwargs=dict(num_blocks=1, channels=8, freq=8, num_heads=2,
+                              attn_bias=True, positional_embedding=None),
+        n_fft=128, hop_size=64, win_size=128, window="hann",
+    )
+    folded = model.fold(model.init(jax.random.PRNGKey(3)))
+    blocks = folded["params"]["rf_blocks"]
+    assert "bias" in blocks[0]["attn"]["qkv"]
+    b, f, c = 4, model.block_freq, model.block_channels
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, f, c)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((1, b * f, c)) * 0.1, jnp.float32)
+    x_ref, h_ref, _ = model._block_apply(
+        blocks[0], folded["stats"]["rf_blocks"][0], x[None], h[0], train=False)
+    plan = plan_stack(blocks, f, model.rf.num_heads)
+    x_out, h_out = rnnformer_stack_step(plan, x, h, model.rf.num_heads,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_out[0]), np.asarray(h_ref),
+                               atol=2e-5)
