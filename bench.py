@@ -123,10 +123,13 @@ def main():
     # compile + warmup (host fetch forces real execution)
     try:
         _ = float(bench_fn(variables, wav))
-    except Exception:
+    except Exception as e:
         if fused_plan is None:
             raise
-        print("fused-stack kernel failed to compile here; "
+        # keep the cause visible: an unrelated failure (OOM, bad config)
+        # must not masquerade as a fused-kernel compile problem
+        print("fused-stack path failed "
+              f"({type(e).__name__}: {str(e).splitlines()[-1][:200]}); "
               "falling back to the XLA scan body", file=sys.stderr)
         use_fused, fused_plan = False, None
         bench_fn = make_bench_fn(None)

@@ -499,9 +499,16 @@ def _dns_variant(cfg: Cfg, pesq_bs: int = 16, executors: int = 16) -> Cfg:
 # ---------------------------------------------------------------------------
 
 def _shard_cfg(train_dataset: str) -> Cfg:
-    """Lhotse-shar pipeline recipe (reference: configs/fastenhancer_shard/
-    t.yaml). Shard dirs are rooted at data/shards/ (reference used absolute
-    home paths)."""
+    """Lhotse-shar pipeline recipe, key-for-key with the reference
+    (reference: configs/fastenhancer_shard/t.yaml). Only deviation: shard
+    dirs are rooted at data/shards/ (the reference used absolute home
+    paths); the source basenames are kept. Note the reference's
+    optimizer_groups here use regexes from an older model naming scheme
+    (`rnn.\\d.rnn`, `rnn_pre`, ...) that match no fastenhancer.default
+    parameter — every param lands in the default AdamP group ("auto"
+    projection). Replicated verbatim for behavior parity.
+    pin_memory/prefetch_factor are torch-DataLoader knobs our host loader
+    ignores; carried so the recipes stay key-identical."""
     cfg = _fe_dns("t")
     cfg["wrapper"] = "ns_shard"
     cfg["data"] = deep_merge(DATA_DNS16, {})
@@ -515,15 +522,21 @@ def _shard_cfg(train_dataset: str) -> Cfg:
     cfg["data"]["dereverberation"] = {"rir_target_type": "rts",
                                       "early_rir_sec": 0.05, "t60_max": 0.15}
     shard_root = "data/shards"
+
+    def sources(kind: str, *pairs: tp.Tuple[str, float]) -> list:
+        return [{"shard_dir": f"{shard_root}/{kind}/{name}", "weight": w}
+                for name, w in pairs]
+
     cfg["data"]["train"] = {
         "inputs": {
-            "speech": [{"shard_dir": f"{shard_root}/speech/dns", "weight": 2.0},
-                       {"shard_dir": f"{shard_root}/speech/vctk-train",
-                        "weight": 2.0}],
-            "noise": [{"shard_dir": f"{shard_root}/noise/dns", "weight": 4.0},
-                      {"shard_dir": f"{shard_root}/noise/demand-train",
-                       "weight": 2.0}],
-            "rir": [{"shard_dir": f"{shard_root}/rir/dns-rir", "weight": 1.0}],
+            "speech": sources(
+                "speech", ("dns-wo-german-w-singing", 2.0),
+                ("vctk-train", 2.0), ("aishell3", 2.0), ("ears", 1.0),
+                ("hifitts1-clean", 1.0), ("expresso", 1.0)),
+            "noise": sources(
+                "noise", ("dns", 4.0), ("demand-train", 2.0), ("wham", 2.0),
+                ("tut-urban-2018-dev", 2.0), ("fma", 2.0)),
+            "rir": sources("rir", ("dns-rir", 1.0)),
         },
         "mixer": {"speech_dbFS": [-35.0, -15.0], "snr": [0.0, 20.0],
                   "seg_rel_threshold": -25.0, "seg_abs_threshold": None},
@@ -539,13 +552,51 @@ def _shard_cfg(train_dataset: str) -> Cfg:
         "sampler_buffer_size": 10000,
         "shuffle": True,
         "num_workers": 2,
+        "pin_memory": False,
         "persistent_workers": True,
+        "prefetch_factor": 1,
     }
-    if train_dataset == "ShardSegment":
-        cfg["data"]["train"]["segment_size"] = 32000
-    cfg["train"]["steps_per_epoch"] = 1000
-    cfg["train"]["max_epochs"] = 200
-    cfg["train"]["save_interval"] = 10
+    # reference train section: no batch_size (duration bucketing), intervals
+    # of 10, the stale optimizer_groups, and no explicit AdamP projection
+    cfg["train"] = {
+        "test": False,
+        "save_interval": 10,
+        "max_epochs": 200,
+        "steps_per_epoch": 1000,
+        "fp16": True,
+        "clip_grad": None,
+        "seed": 1,
+        "plot_param_and_grad": False,
+        "losses": copy.deepcopy(LOSSES_NO_PESQ),
+        "optimizer": "AdamP",
+        "optimizer_kwargs": {"lr": 2.0e-3, "weight_decay": 0.01,
+                             "wd_ratio": 1.0, "betas": [0.95, 0.999]},
+        "optimizer_groups": [
+            {"regex_list": [r"rnn\.\d\.rnn.+parametrizations.+original0$",
+                            r"enc_pre\.2\.weight",
+                            r"(en|de)coder\.\d\.2\.weight",
+                            r"rnn_(pre|post)\.1\.weight",
+                            r"dec_post\.scale"],
+             "weight_decay": 0, "projection": "disabled"},
+            {"regex_list": [r"rnn_pre\.0.+parametrizations.+original1$",
+                            r"rnn\.\d\..+parametrizations.+original1$",
+                            r"enc_pre\.0\.weight",
+                            r"(en|de)coder\.\d\.0\.weight",
+                            r"rnn_(pre|post)\.2\.weight"],
+             "projection": "channelwise"},
+            {"regex_list": [r"dec_post\.weight"], "projection": "layerwise"},
+            {"regex_list": [r"rnn_post\.0.+parametrizations.+original1$"],
+             "projection": 1},
+        ],
+        "scheduler": "CosineAnnealingWarmup",
+        "scheduler_kwargs": {"warmup_iterations": 500, "eta_min": 1.0e-6,
+                             "warn": False},
+    }
+    cfg["valid"] = {"batch_size": 64, "num_workers": 2}
+    cfg["infer"] = {"batch_size": 1, "interval": 10, "num_workers": 0}
+    cfg["pesq"] = {"batch_size": 4, "num_workers": 0,
+                   "num_workers_executor": 8, "interval": 10,
+                   "metrics_to_calculate": {"pesq": True, "stoi": True}}
     return cfg
 
 

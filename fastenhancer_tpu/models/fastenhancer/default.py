@@ -778,6 +778,10 @@ class Model:
         b, length = wav.shape
         hop = self.hop_size
         t = length // hop
+        if fused_plan is not None and chunk_frames > 1:
+            raise ValueError(
+                "fused_plan implies per-frame streaming (chunk_frames=1); "
+                "a fused chunked scan is not implemented")
         if fused_plan is not None:
             hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
             carry0 = self.init_streaming_carry(b, wav.dtype)

@@ -90,6 +90,9 @@ int parse_wav(const uint8_t* buf, size_t n, WavInfo* w) {
   } else {
     return -4;
   }
+  // np.frombuffer errors on a buffer that is not a whole number of samples;
+  // a short/odd data chunk must fail here too so both decode paths agree
+  if (w->pcm_size % (size_t)(bytes_per * n_ch) != 0) return -4;
   w->frames = static_cast<int64_t>(w->pcm_size / (size_t)(bytes_per * n_ch));
   return 0;
 }
@@ -193,17 +196,14 @@ int64_t parse_octal(const uint8_t* p, int n) {
   return v;
 }
 
-bool has_suffix_ci(const std::string& s, const char* suf) {
-  size_t m = strlen(suf);
-  if (s.size() < m) return false;
-  for (size_t i = 0; i < m; ++i) {
-    char a = s[s.size() - m + i];
-    char b = suf[i];
-    if (a >= 'A' && a <= 'Z') a += 32;
-    if (b >= 'A' && b <= 'Z') b += 32;
-    if (a != b) return false;
-  }
-  return true;
+// Exactly '.wav' or '.WAV' — the same set _decode_audio (data/shard.py:64)
+// accepts; mixed-case suffixes must flow through the payload path on both.
+bool has_wav_suffix(const std::string& s) {
+  auto ends = [&](const char* suf) {
+    size_t m = strlen(suf);
+    return s.size() >= m && s.compare(s.size() - m, m, suf) == 0;
+  };
+  return ends(".wav") || ends(".WAV");
 }
 
 }  // namespace
@@ -264,7 +264,7 @@ int fe_shard_next(void* h, float* out, int64_t cap, char* name_buf,
       if (pad) fseeko(r->f, pad, SEEK_CUR);
       break;
     }
-    r->is_wav = has_suffix_ci(r->name, ".wav");
+    r->is_wav = has_wav_suffix(r->name);
     r->pending = true;
   }
 

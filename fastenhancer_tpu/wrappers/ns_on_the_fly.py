@@ -30,20 +30,31 @@ class ModelWrapper(BaseModelWrapper):
 
     def set_keys(self) -> None:
         self.keys = ["clean", "noise", "noisy"]
-        self.infer_keys = self.keys
+        # reverb recipes: the dataset draws a per-item RIR (identity delta
+        # with prob 1-reverb_prob, data/ns_on_the_fly.py:145-154) and the
+        # mixer convolves clean with it before SNR mixing (reference
+        # capability: utils/data/ns_on_the_fly.py:207-223,357-364 — the
+        # reference wrapper never requests "rir"; here reverb_prob>0
+        # activates the full path)
+        if self.hps.data.get("reverb_prob", 0) > 0:
+            self.keys = self.keys + ["rir"]
+        self.infer_keys = ["clean", "noise", "noisy"]
 
     def _device_batch(self, batch: tp.Mapping[str, np.ndarray],
                       keys: tp.Sequence[str]):
-        """(clean, noise) -> mixed (clean, noisy) on device; other modes
-        (valid/pesq/infer use paired data) fall through to the base."""
+        """(clean, noise[, rir]) -> mixed (clean, noisy) on device; other
+        modes (valid/pesq/infer use paired data) fall through to the base."""
         if "noise" not in batch:
             return super()._device_batch(batch, keys)
-        arrs = {k: batch[k] for k in ("clean", "noise")}
-        t = min(a.shape[-1] for a in arrs.values())
+        mix_keys = ("clean", "noise", "rir") if "rir" in batch \
+            else ("clean", "noise")
+        arrs = {k: batch[k] for k in mix_keys}
+        t = min(arrs[k].shape[-1] for k in ("clean", "noise"))
         t = (t // self.hop_size) * self.hop_size
         from ..parallel import pad_batch_to, shard_batch
 
-        arrs = {k: a[..., :t] for k, a in arrs.items()}
+        arrs = {k: (a if k == "rir" else a[..., :t])
+                for k, a in arrs.items()}
         padded, real_b = pad_batch_to(arrs, self.n_devices)
         dev = shard_batch(padded, self.mesh)
 

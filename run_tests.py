@@ -1,0 +1,91 @@
+"""Suite runner: one pytest subprocess per test file.
+
+The monolithic `pytest tests/` run accumulates jax+torch native state over
+~40 min in one process and can flakily segfault inside XLA's CPU
+backend_compile (rc 139) — not a test failure. Running each file in a fresh
+interpreter is the documented way to run the whole suite:
+
+    python run_tests.py             # whole suite
+    python run_tests.py -m "not parity"   # quick subset
+    python run_tests.py tests/test_stft.py tests/test_nn.py  # chosen files
+    python run_tests.py -j 4        # 4 files in parallel
+
+Exit code is non-zero if any file fails. A file that dies with a signal
+(segfault) is retried once in a fresh process before being reported.
+"""
+import argparse
+import glob
+import os
+import subprocess
+import sys
+import time
+
+
+def run_file(path: str, extra: list, retries: int = 1) -> tuple:
+    cmd = [sys.executable, "-m", "pytest", path, "-q", *extra]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    t0 = time.time()
+    for attempt in range(retries + 1):
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        if proc.returncode >= 0 or attempt == retries:
+            break
+        print(f"  {path}: died with signal {-proc.returncode}, "
+              f"retrying in a fresh process", flush=True)
+    return path, proc.returncode, time.time() - t0, proc.stdout, proc.stderr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files", nargs="*", help="test files (default: tests/)")
+    ap.add_argument("-m", dest="mark", default=None,
+                    help="pytest -m expression, e.g. 'not parity'")
+    ap.add_argument("-j", dest="jobs", type=int, default=1,
+                    help="files to run in parallel (default 1: the suite "
+                    "holds compile-heavy jax tests; >1 trades isolation "
+                    "robustness for wall time)")
+    ap.add_argument("-x", dest="failfast", action="store_true")
+    args = ap.parse_args()
+
+    files = args.files or sorted(glob.glob("tests/test_*.py"))
+    extra = ["-m", args.mark] if args.mark else []
+
+    failed = []
+    t0 = time.time()
+    if args.jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(args.jobs) as ex:
+            results = list(ex.map(lambda f: run_file(f, extra), files))
+    else:
+        results = []
+        for f in files:
+            res = run_file(f, extra)
+            results.append(res)
+            _report(res, failed)
+            if failed and args.failfast:
+                break
+        results = None  # already reported
+
+    if results is not None:
+        for res in results:
+            _report(res, failed)
+
+    n = len(files)
+    print(f"\n{n - len(failed)}/{n} files green in {time.time() - t0:.0f}s")
+    if failed:
+        print("failed:", " ".join(failed))
+        sys.exit(1)
+
+
+def _report(res, failed):
+    path, rc, dt, out, err = res
+    tail = out.strip().splitlines()[-1] if out.strip() else ""
+    status = "ok" if rc == 0 else f"FAIL rc={rc}"
+    print(f"[{status:>10}] {path} ({dt:.0f}s) {tail}", flush=True)
+    if rc != 0:
+        failed.append(path)
+        sys.stdout.write(out[-4000:] + "\n" + err[-2000:] + "\n")
+
+
+if __name__ == "__main__":
+    main()

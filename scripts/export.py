@@ -81,6 +81,10 @@ def main():
     hop = model.hop_size
     b = args.streams
 
+    if args.spec2spec and args.fused:
+        ap.error("--spec2spec --fused is not implemented; the fused kernel "
+                 "lives in the wav2wav step (drop one of the flags)")
+
     if args.spec2spec:
         from fastenhancer_tpu.functional import compress, uncompress
 

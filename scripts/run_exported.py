@@ -123,16 +123,21 @@ def main():
         wall = time.perf_counter() - t0
         out = np.concatenate(outs)
     write_wav(args.output, out, sr)
-    # steady state excludes the first tick (artifact load/compile happens there)
+    # steady state excludes the first tick (artifact load/compile happens
+    # there); denominator = audio actually processed by the steady ticks
     steady = np.array(ticks[1:])
-    rtf = float(steady.sum()) / ((t - hop) / sr)
+    print(f"streamed {t / sr:.1f}s in {wall:.2f}s "
+          f"(warm-up tick {ticks[0]:.2f}s) -> {args.output}")
+    if not len(steady):
+        print("input too short for steady-state latency stats "
+              "(need > 2 hops)")
+        return
+    rtf = float(steady.sum()) / (len(steady) * hop / sr)
     ticks_ms = np.sort(steady * 1000.0)
     budget_ms = hop / sr * 1000.0
     pct = lambda p: float(np.percentile(ticks_ms, p))
     misses = float(np.mean(ticks_ms > budget_ms)) * 100.0
-    print(f"streamed {t / sr:.1f}s in {wall:.2f}s "
-          f"(steady-state RTF {rtf:.4f}, warm-up tick {ticks[0]:.2f}s) "
-          f"-> {args.output}")
+    print(f"steady-state RTF {rtf:.4f}")
     print(f"per-tick latency ms: p50 {pct(50):.2f}  p90 {pct(90):.2f}  "
           f"p99 {pct(99):.2f}  (budget {budget_ms:.1f} ms/hop, "
           f"{misses:.1f}% deadline misses)")

@@ -19,9 +19,11 @@ REF = "/root/reference/configs"
 
 def _flat(d, p=""):
     out = {}
-    for k, v in d.items():
+    items = (d.items() if isinstance(d, dict)
+             else ((str(i), v) for i, v in enumerate(d)))
+    for k, v in items:
         kk = f"{p}.{k}" if p else k
-        if isinstance(v, dict):
+        if isinstance(v, (dict, list)):
             out.update(_flat(v, kk))
         else:
             out[kk] = v
@@ -35,7 +37,6 @@ def _is_path_key(key: str) -> bool:
 REF_FILES = sorted(
     os.path.relpath(f, REF)[:-5]
     for f in glob.glob(f"{REF}/**/*.yaml", recursive=True)
-    if "shard" not in f  # shard pipeline configs land with the shard dataset
 )
 
 

@@ -125,7 +125,9 @@ def smoke_run(corpus, tmp_path_factory):
         {"num_blocks": 1, "channels": 8, "freq": 8, "num_heads": 2})
     cfg["train"].update({"test": True, "batch_size": 2, "num_workers": 1,
                          "profile": {"start": 2, "steps": 2}})
-    cfg["train"]["losses"].pop("pesq", None)  # pesq lib not in env
+    # keep the pesq loss in: it is pure JAX (fastenhancer_tpu/pesq_loss.py),
+    # no external lib needed — the smoke train must exercise the full VBD
+    # loss recipe
     cfg["pesq"]["interval"] = 1
     cfg["infer"]["interval"] = 1
     cfg_path = root / "smoke.yaml"

@@ -124,6 +124,82 @@ def test_ns_on_the_fly_wrapper_smoke(pools, tmp_path):
     assert np.isfinite(summary["scalars"]["loss/si_snr"])
 
 
+def test_batch_rir_conv_matches_direct_convolution():
+    from fastenhancer_tpu.data.ns_on_the_fly import batch_rir_conv
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 400)).astype(np.float32)
+    rir = rng.standard_normal((2, 64)).astype(np.float32) * 0.2
+    y = np.asarray(batch_rir_conv(jnp.asarray(x), jnp.asarray(rir)))
+    for b in range(2):
+        ref = np.convolve(x[b], rir[b])[:400]
+        np.testing.assert_allclose(y[b], ref, atol=2e-4)
+
+
+def test_snr_mixer_applies_rir():
+    """A pure-delay RIR must shift clean before mixing (reference:
+    utils/data/ns_on_the_fly.py:357-364)."""
+    mixer = SNRMixer(sr=SR, segmental_snr=False, dataloader_rms=-20,
+                     snr_range=[0, 1], noisy_rms_range=[-20, -19])
+    rng = np.random.default_rng(1)
+    clean = jnp.asarray(rng.standard_normal((2, SR)).astype(np.float32) * 0.1)
+    noise = jnp.asarray(rng.standard_normal((2, SR)).astype(np.float32) * 0.1)
+    delay = 7
+    rir = np.zeros((2, 32), np.float32)
+    rir[:, delay] = 1.0
+    c, _, _ = mixer(clean, noise, snr=0, rms_target=-20,
+                    rir=jnp.asarray(rir))
+    c = np.asarray(c)
+    # output clean is a (rescaled) delayed copy
+    a, b = c[0, delay:], np.asarray(clean)[0, : SR - delay]
+    corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert corr > 0.9999, corr
+
+
+def test_ns_on_the_fly_wrapper_rir_path(pools, tmp_path):
+    """reverb_prob > 0 wires dataset RIR -> wrapper keys -> SNRMixer conv
+    (VERDICT r1: the RIR path must be reachable through the wrapper)."""
+    from fastenhancer_tpu.wrappers import get_wrapper
+    from fastenhancer_tpu.data import get_dataset_dataloader
+
+    clean, noise = pools
+    rir_dir = tmp_path / "rir"
+    rir_dir.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        h = np.zeros(900, np.float32)
+        h[0] = 1.0
+        h[40:] = rng.standard_normal(860).astype(np.float32) * \
+            0.3 * np.exp(-np.arange(860) / 160)
+        write_wav(str(rir_dir / f"r{i}.wav"), h, SR)
+
+    cfg = yaml.safe_load(open("configs/fastenhancer_dns/t.yaml"))
+    cfg["model_kwargs"].update({"channels": 8, "kernel_size": [4, 3]})
+    cfg["model_kwargs"]["rnnformer_kwargs"].update(
+        {"num_blocks": 1, "channels": 8, "freq": 8, "num_heads": 2})
+    cfg["data"]["reverb_prob"] = 1.0
+    cfg["data"]["rir_length"] = 1024
+    cfg["data"]["train"].update({"clean_dir": clean, "noise_dir": noise,
+                                 "rir_dir": str(rir_dir),
+                                 "segment_size": SR, "length": 4})
+    cfg["train"].update({"test": True, "batch_size": 2, "num_workers": 1})
+    cfg["train"]["losses"] = {"si_snr": {"weight": 1.0}}
+    cfg.pop("pesq", None)
+    hps = HParams(**cfg)
+    hps.base_dir = str(tmp_path)
+
+    wrapper = get_wrapper("ns_on_the_fly")(hps, train=True)
+    assert "rir" in wrapper.keys
+    ds, loader = get_dataset_dataloader(hps, "train", wrapper.keys)
+    item = ds[0]
+    assert item["rir"].shape == (1024,)
+    assert np.abs(item["rir"][1:]).max() > 0  # real RIR, not the delta
+    ds.shuffle(1)
+    wrapper.epoch = 1
+    summary = wrapper.train_epoch(loader)
+    assert np.isfinite(summary["scalars"]["loss/si_snr"])
+
+
 def test_48khz_wrapper_with_dynamic_lpf(tmp_path):
     """fastenhancer_48khz recipe: on-the-fly synthesis + per-item sinc LPF."""
     from fastenhancer_tpu.wrappers import get_wrapper

@@ -105,6 +105,10 @@ def main():
             train_dataset.shuffle(seed + epoch)
 
         summary = wrapper.train_epoch(train_loader)
+        # free shard aux audio buffers between epochs
+        # (reference: train.py:129-130)
+        if hasattr(train_dataset, "release_auxiliary"):
+            train_dataset.release_auxiliary()
         summary["scalars"]["lr"] = wrapper.get_lr()
         if is_main:
             summarize(writer_train, epoch, sr, **summary)
