@@ -15,15 +15,19 @@ import wave
 import numpy as np
 
 
-def read_wav(path: str, sr: tp.Optional[int] = None) -> tp.Tuple[np.ndarray, int]:
-    """Read a wav file -> (float32 mono [-1,1], sample_rate).
+def read_wav(path: str, sr: tp.Optional[int] = None,
+             mono: bool = True) -> tp.Tuple[np.ndarray, int]:
+    """Read a wav file -> (float32 [-1,1], sample_rate).
 
-    Multi-channel audio is averaged to mono (librosa.load default behavior).
-    If `sr` is given and differs from the file rate, resample.
+    mono=True (default) averages multi-channel audio to mono
+    (librosa.load default behavior) and returns [T]; mono=False keeps
+    channels and returns [C, T] (the noise shard builders chunk per
+    channel, reference: scripts/data/shard_noise.py:85-101). If `sr` is
+    given and differs from the file rate, resample (along time).
     """
     from .. import native
 
-    if native.available():
+    if mono and native.available():  # native core decodes straight to mono
         x, file_sr = native.read_wav_file(path)
     else:
         with open(path, "rb") as fh:
@@ -33,7 +37,7 @@ def read_wav(path: str, sr: tp.Optional[int] = None) -> tp.Tuple[np.ndarray, int
             else:
                 raise ValueError(f"not a RIFF/WAVE file: {path}")
     if x.ndim == 2:
-        x = x.mean(axis=1)
+        x = x.mean(axis=1) if mono else np.ascontiguousarray(x.T)
     if sr is not None and sr != file_sr:
         x = resample(x, file_sr, sr)
         file_sr = sr
@@ -114,4 +118,5 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     from scipy.signal import resample_poly
 
     g = gcd(sr_in, sr_out)
-    return resample_poly(x, sr_out // g, sr_in // g).astype(np.float32)
+    return resample_poly(x, sr_out // g, sr_in // g, axis=-1
+                         ).astype(np.float32)

@@ -400,8 +400,11 @@ class ShardDataset:
                   ) -> tp.Tuple[np.ndarray, int, float]:
         cut = self.rir.draw()
         rir = cut.audio[:t_rir]
-        onset = int(cut.custom.get("rir_onset",
-                                   int(np.argmax(np.abs(rir)))))
+        # onset key: "onset_sample" from the reference-layout builders
+        # (scripts/data/shard_dns_rir.py), "rir_onset" from shard_wavdir
+        onset = int(cut.custom.get(
+            "onset_sample",
+            cut.custom.get("rir_onset", int(np.argmax(np.abs(rir))))))
         t60 = float(cut.custom.get("t60", cut.custom.get("rir_t60", 0.3)))
         return rir, onset, t60
 

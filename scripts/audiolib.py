@@ -19,19 +19,25 @@ def active_rms_relative(
     relative_threshold_db: float = -25.0,
     absolute_threshold_db: tp.Optional[float] = -50.0,
 ) -> float:
-    """Active-segment RMS (host/numpy mirror of ops.segmental_rms)."""
+    """Active-segment RMS (host/numpy mirror of ops.segmental_rms).
+
+    Statistic and edge cases match the reference
+    (scripts/audiolib.py:142-165): the mean of active segments' RMS values,
+    0.0 when the signal is shorter than one window or has no active
+    segment (callers skip rms == 0.0 items)."""
     win = int(sr * window_ms / 1000)
     n = len(audio) // win
     if n == 0:
-        return float(np.sqrt(np.mean(np.square(audio)) + EPS))
-    seg_pow = np.mean(np.square(audio[: n * win]).reshape(n, win), axis=1)
-    thr = seg_pow.max() * 10.0 ** (relative_threshold_db / 10.0)
+        return 0.0
+    seg_rms = np.sqrt(np.mean(np.square(audio[: n * win]).reshape(n, win),
+                              axis=1))
+    thr = seg_rms.max() * 10.0 ** (relative_threshold_db / 20.0)
     if absolute_threshold_db is not None:
-        thr = max(thr, 10.0 ** (absolute_threshold_db / 10.0))
-    active = seg_pow > thr
+        thr = max(thr, 10.0 ** (absolute_threshold_db / 20.0))
+    active = seg_rms > thr
     if not active.any():
-        return float("inf")
-    return float(np.sqrt(seg_pow[active].mean()))
+        return 0.0
+    return float(seg_rms[active].mean())
 
 
 def normalize_segmental_rms(audio: np.ndarray, rms: float,

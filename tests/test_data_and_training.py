@@ -200,6 +200,66 @@ def test_export_runner_roundtrip(smoke_run, corpus, tmp_path):
     assert snr > 40, f"wav2wav vs spec2spec disagree: {snr:.1f} dB"
 
 
+def test_enhance_cli(smoke_run, corpus, tmp_path):
+    """scripts.enhance: dir of wavs -> enhanced wavs (reference:
+    scripts/test_pytorch.py)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out_dir = str(tmp_path / "enhanced")
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.enhance", "-n", "smoke",
+         "--base_dir", str(smoke_run / "logs"),
+         "-i", str(corpus / "noisy"), "-o", out_dir, "--batch-size", "4"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "RTF" in r.stdout
+    outs = sorted(os.listdir(out_dir))
+    assert outs == sorted(os.listdir(corpus / "noisy"))
+    x, sr = read_wav(str(corpus / "noisy" / outs[0]))
+    y, sr2 = read_wav(os.path.join(out_dir, outs[0]))
+    assert sr2 == sr and len(y) == len(x)
+    assert np.isfinite(y).all() and np.abs(y).max() > 0
+
+
+def test_metrics_ns_cli(smoke_run):
+    """scripts.metrics_ns: offline SISDR/STOI/ESTOI suite over the pesq
+    split (reference: scripts/metrics_ns.py)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.metrics_ns", "-n", "smoke",
+         "--base_dir", str(smoke_run / "logs"), "--max-items", "4"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    scores = {}
+    for line in r.stdout.splitlines():
+        if ":" in line:
+            k, _, v = line.strip().partition(":")
+            try:
+                scores[k.strip()] = float(v)
+            except ValueError:
+                pass
+    for k in ("SISDR", "STOI", "ESTOI"):
+        assert k in scores and np.isfinite(scores[k]), (k, r.stdout)
+    assert -1.0 <= scores["STOI"] <= 1.0
+
+
+def test_resample_cli(corpus, tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out_dir = str(tmp_path / "res8k")
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.resample",
+         "-i", str(corpus / "clean"), "-o", out_dir, "--sr", "8000",
+         "-j", "2"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = sorted(os.listdir(out_dir))
+    assert outs == sorted(os.listdir(corpus / "clean"))
+    x, _ = read_wav(str(corpus / "clean" / outs[0]))
+    y, sr = read_wav(os.path.join(out_dir, outs[0]))
+    assert sr == 8000
+    assert abs(len(y) - len(x) // 2) <= 2
+    assert np.abs(y).max() <= 0.9991
+
+
 def test_loader_propagates_worker_errors(tmp_path):
     """A crashing dataset item must raise in the consumer, not silently end
     the epoch (regression: a 48k/16k sr mismatch produced 300 empty epochs
