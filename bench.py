@@ -94,28 +94,41 @@ def main():
 
     # fused Pallas block-stack kernel (ops/rnnformer_stack.py): 239 -> 147
     # us/frame end-to-end at 256 streams on v5e (1.6x), parity ~1e-7.
-    # Default ON for single-chip per-frame 16 kHz-class streaming;
-    # BENCH_FUSED=0 reverts to the pure-XLA scan body. Pallas calls do not
-    # auto-partition over a mesh (multi-chip stays XLA); >512 streams blows
-    # the kernel's VMEM working set; the 48 kHz shapes (rows > 8192) hit a
-    # pathological Mosaic compile — any compile failure falls back to XLA.
+    # Default ON for per-frame streaming; streams are tiled over a Pallas
+    # grid so large stream counts and the wide S/M/L / 48 kHz shapes fit
+    # VMEM (round 1 limited this to <=512 streams and rows <= 8192).
+    # Multi-chip runs it per shard under shard_map. BENCH_FUSED=0 reverts
+    # to the pure-XLA scan body; any compile failure falls back to XLA.
     use_fused = (os.environ.get("BENCH_FUSED", "1") == "1" and chunk == 1
-                 and n_dev == 1 and streams <= 512
-                 and streams * model.block_freq <= 8192
                  and not model.rf.post_act)
     fused_plan = model.build_stack_plan(variables) if use_fused else None
+    mesh = None
     if n_dev > 1:
-        from fastenhancer_tpu.parallel import make_mesh, replicate, shard_batch
+        from fastenhancer_tpu.parallel import (make_mesh, replicate,
+                                               shard_batch, shard_map_stream)
 
         mesh = make_mesh(n_dev)
         variables = replicate(variables, mesh)
+        if fused_plan is not None:
+            fused_plan = replicate(fused_plan, mesh)
         wav = shard_batch(wav, mesh)
 
     def make_bench_fn(plan):
+        def stream(v, p, w):
+            out = model.stream(v, w, chunk_frames=chunk, unroll=unroll,
+                               fused_plan=p)
+            return out
+
+        if mesh is not None:
+            # per-shard execution keeps the fused Pallas kernel usable
+            # multi-chip (pallas_call does not auto-partition)
+            stream_sharded = shard_map_stream(stream, mesh, n_replicated=2)
+        else:
+            stream_sharded = stream
+
         @jax.jit
         def bench_fn(v, w):
-            out = model.stream(v, w, chunk_frames=chunk, unroll=unroll,
-                               fused_plan=plan)
+            out = stream_sharded(v, plan, w)
             return jnp.mean(jnp.abs(out.astype(jnp.float32)))
         return bench_fn
 

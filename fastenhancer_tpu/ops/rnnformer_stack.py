@@ -47,13 +47,30 @@ Params = tp.Dict[str, tp.Any]
 # Plan: folded block params -> stacked kernel-ready arrays
 # ---------------------------------------------------------------------------
 
+def pad_freq(freq: int) -> int:
+    """Frequency axis padding for the kernel's [.., F, ..] views.
+
+    Empirical Mosaic envelope (measured on v5e over the whole fastenhancer
+    family): natively 8-aligned freqs (16/24/48/64) compile fine, but
+    f = 36 (16 kHz S, 48 kHz B) hangs the compile for tens of minutes, and
+    so does padding it to 40 — while the identical shape at f = 48
+    compiles in ~14 s. So: keep 8-aligned freqs as-is, round everything
+    else up to a multiple of 16. Padded key positions are masked out of
+    the softmax (kmask), padded query/GRU rows are junk-but-isolated and
+    sliced off outside the kernel."""
+    if freq % 8 == 0:
+        return freq
+    return -(-freq // 16) * 16
+
+
 def plan_stack(blocks: tp.Sequence[Params], freq: int, num_heads: int,
                dtype=None) -> Params:
     """Pack folded rf_blocks params (Model.fold() output; weight-norm already
     stripped, post-norms merged into the fcs, no pre-norms) into stacked,
     pre-transposed arrays. Leading dim = block index. dtype=None inherits
     the blocks' own dtype (a mismatched f32 plan would silently promote the
-    kernel's bf16 activations)."""
+    kernel's bf16 activations). Frequency-indexed arrays (pe, gmask, kmask)
+    are built for pad_freq(freq)."""
     nb = len(blocks)
     w_hh0 = blocks[0]["rnn"]["weight_hh"]
     if dtype is None:
@@ -97,29 +114,35 @@ def plan_stack(blocks: tp.Sequence[Params], freq: int, num_heads: int,
     b_q, b_k, b_v = (b_qkv[:, None, q_rows], b_qkv[:, None, q_rows + d],
                      b_qkv[:, None, q_rows + 2 * d])
 
-    pe = jnp.zeros((nb, freq, c), dtype)
+    fp = pad_freq(freq)
+    pe = jnp.zeros((nb, fp, c), dtype)
     for i, b in enumerate(blocks):
         if "pe" in b and b["pe"] is not None:
-            pe = pe.at[i].set(jnp.asarray(b["pe"]["weight"], dtype))
+            pe = pe.at[i, :freq].set(jnp.asarray(b["pe"]["weight"], dtype))
 
     head_mask = (np.arange(c)[None, :] // d
                  == np.arange(num_heads)[:, None]).astype(np.float32)
-    # per-head lane-group mask over the [H*F] folded score lanes (f32: it
-    # multiplies f32 softmax intermediates)
-    gmask = (np.arange(num_heads * freq)[None, :] // freq
+    # per-head lane-group mask over the [H*Fp] folded score lanes (f32: it
+    # feeds the f32 grouped-sum matmuls)
+    gmask = (np.arange(num_heads * fp)[None, :] // fp
              == np.arange(num_heads)[:, None]).astype(np.float32)
+    # additive key mask: padded frequency positions get -1e30 so their
+    # softmax mass is exactly zero
+    kmask = np.zeros((1, num_heads * fp), np.float32)
+    kmask[0, (np.arange(num_heads * fp) % fp) >= freq] = -1e30
 
     return dict(gates, w_fc=w_fc, b_fc=b_fc, w_afc=w_afc, b_afc=b_afc,
                 w_q=w_q, w_k=w_k, w_v=w_v, b_q=b_q, b_k=b_k, b_v=b_v,
                 pe=pe, head_mask=jnp.asarray(head_mask, dtype),
-                gmask=jnp.asarray(gmask, jnp.float32))
+                gmask=jnp.asarray(gmask, jnp.float32),
+                kmask=jnp.asarray(kmask, jnp.float32))
 
 
 _PLAN_KEYS = ("w_xr", "w_hr", "b_r", "w_xz", "w_hz", "b_z",
               "w_xn", "w_hn", "b_xn", "b_hn",
               "w_fc", "b_fc", "w_afc", "b_afc",
               "w_q", "w_k", "w_v", "b_q", "b_k", "b_v", "pe", "head_mask",
-              "gmask")
+              "gmask", "kmask")
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +164,8 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
     (x_ref, h_ref,
      w_xr, w_hr, b_r, w_xz, w_hz, b_z, w_xn, w_hn, b_xn, b_hn,
      w_fc, b_fc, w_afc, b_afc, w_q, w_k, w_v, b_q, b_k, b_v, pe, head_mask,
-     gmask_ref, x_out, h_out) = refs
-    b_, f, c = batch, freq, channels
+     gmask_ref, kmask_ref, x_out, h_out) = refs
+    b_, f, c = batch, freq, channels  # freq == pad_freq(model freq)
     rows = b_ * f
     dt = x_ref.dtype
     scale = 1.0 / np.sqrt(c // num_heads)
@@ -182,24 +205,23 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
             [k * m[hh][None, None, :] for hh in range(num_heads)], axis=1)
         vblk = jnp.concatenate(
             [v * m[hh][None, None, :] for hh in range(num_heads)], axis=1)
-        logits = _bdot(q, kblk, 2, 2) * scale            # [B, F, H*F] f32
-        # grouped softmax over each head's F-lane block, via masked
-        # reductions (Mosaic cannot lane-split [.., H*F] -> [.., H, F])
-        # f32 compare: Mosaic has no bf16 cmpf, and a whole-plan bf16 cast
-        # (bench/serving) would otherwise turn this mask bf16
+        logits = (_bdot(q, kblk, 2, 2) * scale
+                  + kmask_ref[:][0][None, None, :])      # [B, F, H*F] f32
+        # grouped softmax over each head's F-lane block. Stabilize with the
+        # global row max (>= every group max; softmax is invariant to the
+        # shift) and recover per-group denominators with two gmask matmuls
+        # — replaces 2*H masked-reduction loops per block, which both
+        # shrinks the unrolled Mosaic program (the L-shape compile went
+        # pathological on it) and rides the MXU.
         gm = gmask_ref[:].astype(jnp.float32)            # [H, H*F]
-        mx = None
-        for g in range(num_heads):
-            mg = jnp.max(jnp.where(gm[g][None, None, :] > 0, logits, -1e30),
-                         axis=-1, keepdims=True)         # [B, F, 1]
-            part = mg * gm[g][None, None, :]
-            mx = part if mx is None else mx + part
-        p = jnp.exp(logits - mx)
-        den = None
-        for g in range(num_heads):
-            dg = jnp.sum(p * gm[g][None, None, :], axis=-1, keepdims=True)
-            part = dg * gm[g][None, None, :]
-            den = part if den is None else den + part
+        mx = jnp.max(logits, axis=-1, keepdims=True)     # [B, F, 1]
+        p = jnp.exp(logits - mx)                         # padded keys -> 0
+        den_g = jax.lax.dot_general(                     # [B, F, H]
+            p, gm, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        den = jax.lax.dot_general(                       # [B, F, H*F]
+            den_g, gm, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         probs = (p / den).astype(dt)
         attn = _bdot(probs, vblk, 2, 1).astype(dt)       # [B, F, C]
         # --- attention linear (BN folded) + residual ---
@@ -211,10 +233,39 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
 # Entry point
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _auto_batch_tile(b: int, f: int, num_heads: int) -> int:
+    """Largest divisor of b whose per-program working set fits comfortably
+    in VMEM. Two limits (env-overridable for tuning):
+      * rows = tile*f <= FE_STACK_TILE_ROWS (default 4096): the activation
+        row count Mosaic handles well — the 48 kHz shapes hit a
+        pathological compile above ~8192 rows, and wall-time flattens out
+        well below that;
+      * f32 softmax intermediates (logits + exp, each [tile, f, H*f])
+        <= FE_STACK_TILE_BYTES (default 24 MiB) — the dominant VMEM tenant
+        for the wide (M/L) recipes.
+    """
+    import os
+
+    limit_rows = int(os.environ.get("FE_STACK_TILE_ROWS", 4096))
+    limit_bytes = int(os.environ.get("FE_STACK_TILE_BYTES", 24 << 20))
+    best = 1
+    for tile in range(1, b + 1):
+        if b % tile:
+            continue
+        if tile * f > limit_rows:
+            break
+        if 2 * 4 * tile * f * num_heads * f > limit_bytes:
+            break
+        best = tile
+    return best
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "interpret", "batch_tile"))
 def rnnformer_stack_step(
     plan: Params, x: Array, h: Array, num_heads: int,
     interpret: tp.Optional[bool] = None,
+    batch_tile: tp.Optional[int] = None,
 ) -> tp.Tuple[Array, Array]:
     """One fused streaming frame through every block.
 
@@ -222,21 +273,62 @@ def rnnformer_stack_step(
     GRU carries -> (x_out [B, F, C], h_new [NB, B*F, C]). Exact same math as
     looping Model._block_apply over the folded blocks (tested).
     interpret=None auto-selects the Pallas interpreter off-TPU (CI/CPU).
+
+    Streams are tiled over a Pallas grid in contiguous batch blocks (h rows
+    are b-major, so a batch tile is a contiguous row range): large stream
+    counts and the wide S/M/L / 48 kHz shapes stay within VMEM instead of
+    holding the whole problem resident. batch_tile=None auto-sizes; pass an
+    explicit divisor of B to override.
     """
     if interpret is None:  # axon == tunneled TPU; only pure CPU interprets
         interpret = jax.default_backend() == "cpu"
     b, f, c = x.shape
     nb = h.shape[0]
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(_stack_kernel, nb, num_heads, b, f, c)
+    fp = pad_freq(f)
+    if fp != f:
+        # pad the frequency axis to a sublane multiple; padded keys are
+        # softmax-masked in the kernel (plan kmask), padded query/GRU rows
+        # are junk-but-isolated and sliced off below
+        x = jnp.pad(x, ((0, 0), (0, fp - f), (0, 0)))
+        h = jnp.pad(h.reshape(nb, b, f, c),
+                    ((0, 0), (0, 0), (0, fp - f), (0, 0))
+                    ).reshape(nb, b * fp, c)
+    tile = _auto_batch_tile(b, fp, num_heads) if batch_tile is None \
+        else batch_tile
+    assert b % tile == 0, (b, tile)
+    kernel = functools.partial(_stack_kernel, nb, num_heads, tile, fp, c)
+
+    def full(a: Array):
+        # no block_shape: the whole array sits in VMEM for every grid step
+        # (no per-step copy pipelining — a blocked constant-index spec for
+        # all 23 weight inputs sends Mosaic's pipeliner into a pathological
+        # multi-minute compile)
+        del a
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
     x_out, h_out = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, f, c), x.dtype),
+        grid=(b // tile,),
+        out_shape=(jax.ShapeDtypeStruct((b, fp, c), x.dtype),
                    jax.ShapeDtypeStruct(h.shape, h.dtype)),
-        in_specs=[vmem() for _ in range(2 + len(_PLAN_KEYS))],
-        out_specs=(vmem(), vmem()),
+        in_specs=[
+            pl.BlockSpec((tile, fp, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tile * fp, c), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            *[full(plan[k]) for k in _PLAN_KEYS],
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, fp, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tile * fp, c), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, h, *[plan[k] for k in _PLAN_KEYS])
+    if fp != f:
+        x_out = x_out[:, :f]
+        h_out = h_out.reshape(nb, b, fp, c)[:, :, :f].reshape(nb, b * f, c)
     return x_out, h_out

@@ -54,6 +54,25 @@ def replicate(tree: tp.Any, mesh: Mesh) -> tp.Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_map_stream(fn: tp.Callable, mesh: Mesh,
+                     n_replicated: int = 1) -> tp.Callable:
+    """Run `fn(*replicated_args, batch_array)` once per device on the local
+    batch shard (batch = leading axis over the dp mesh axis).
+
+    This is the multi-chip serving path for Pallas kernels: a `pallas_call`
+    does not auto-partition under sharding annotations (XLA would fall back
+    or fail), but under shard_map the kernel simply executes per shard —
+    streaming inference is batch-parallel with no collectives, so fused ==
+    sharded-fused == unsharded math (tested on a virtual 8-device mesh).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(),) * n_replicated + (P(BATCH_AXIS),),
+        out_specs=P(BATCH_AXIS), check_rep=False)
+
+
 def pad_batch_to(batch: tp.Any, multiple: int) -> tp.Tuple[tp.Any, int]:
     """Pad the leading axis of every array up to a multiple (for even
     sharding); returns (padded_batch, original_batch_size)."""

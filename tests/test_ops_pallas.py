@@ -90,6 +90,32 @@ def test_stream_fused_matches_stream():
                                atol=2e-5)
 
 
+def test_stream_fused_sharded_matches_single_device():
+    """Multi-chip fused serving (VERDICT r1 #7): the fused Pallas kernel
+    under shard_map over an 8-device dp mesh == single-device fused ==
+    unfused, on the virtual CPU mesh."""
+    from fastenhancer_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                           shard_map_stream)
+
+    assert jax.device_count() >= 8, "conftest forces 8 virtual CPU devices"
+    model = _tiny_fastenhancer()
+    folded = model.fold(model.init(jax.random.PRNGKey(6)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(6)
+    wav = jnp.asarray(rng.standard_normal((16, 64 * 12)) * 0.1, jnp.float32)
+    y_single = np.asarray(model.stream(folded, wav, fused_plan=plan))
+
+    mesh = make_mesh(8)
+    v_rep = replicate(folded, mesh)
+    plan_rep = replicate(plan, mesh)
+    wav_sh = shard_batch(wav, mesh)
+    fn = shard_map_stream(
+        lambda v, p, w: model.stream(v, w, fused_plan=p), mesh,
+        n_replicated=2)
+    y_sharded = np.asarray(jax.jit(fn)(v_rep, plan_rep, wav_sh))
+    np.testing.assert_allclose(y_sharded, y_single, atol=1e-6)
+
+
 def test_build_stack_plan_rejects_unfolded():
     import pytest
 
@@ -97,6 +123,99 @@ def test_build_stack_plan_rejects_unfolded():
     variables = model.init(jax.random.PRNGKey(2))
     with pytest.raises(ValueError):
         model.build_stack_plan(variables)
+
+
+def test_rnnformer_stack_batch_tiling_matches_single_program():
+    """Grid-tiled streams must be bit-equal to the whole-batch program
+    (same math per tile; h rows are b-major so tiles are contiguous)."""
+    from fastenhancer_tpu.ops.rnnformer_stack import (plan_stack,
+                                                      rnnformer_stack_step)
+
+    model = _tiny_fastenhancer()
+    folded = model.fold(model.init(jax.random.PRNGKey(4)))
+    plan = plan_stack(folded["params"]["rf_blocks"], model.block_freq,
+                      model.rf.num_heads)
+    b, f, c = 12, model.block_freq, model.block_channels
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((b, f, c)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((model.num_blocks, b * f, c)) * 0.1,
+                    jnp.float32)
+    x_ref, h_ref = rnnformer_stack_step(plan, x, h, model.rf.num_heads,
+                                        interpret=True, batch_tile=b)
+    for tile in (1, 2, 3, 4, 6):
+        x_t, h_t = rnnformer_stack_step(plan, x, h, model.rf.num_heads,
+                                        interpret=True, batch_tile=tile)
+        np.testing.assert_array_equal(np.asarray(x_t), np.asarray(x_ref))
+        np.testing.assert_array_equal(np.asarray(h_t), np.asarray(h_ref))
+
+
+def _family_model(freq, channels, num_blocks, num_heads):
+    from fastenhancer_tpu.models.fastenhancer.default import Model
+
+    return Model(
+        channels=16, kernel_size=[4, 3], stride=4,
+        rnnformer_kwargs=dict(num_blocks=num_blocks, channels=channels,
+                              freq=freq, num_heads=num_heads,
+                              positional_embedding="train"),
+        n_fft=128, hop_size=64, win_size=128, window="hann",
+        weight_norm=True, pre_post_init="linear_fixed",
+    )
+
+
+def test_rnnformer_stack_family_shapes_tiled():
+    """The real S/M/L and 48 kHz RNNFormer shapes (the round-1 fused-kernel
+    envelope gaps) through the tiled kernel vs the XLA block loop."""
+    from fastenhancer_tpu.ops.rnnformer_stack import (plan_stack,
+                                                      rnnformer_stack_step,
+                                                      _auto_batch_tile)
+
+    shapes = [
+        ("S", 36, 48, 3, 4),     # freq, channels, blocks, heads (16 kHz)
+        ("M", 48, 72, 4, 4),
+        ("L", 64, 96, 5, 8),
+        ("B48k", 36, 36, 3, 4),  # fastenhancer_48khz/b: freq 36
+    ]
+    b = 8
+    for name, f, c, nblocks, heads in shapes:
+        model = _family_model(f, c, nblocks, heads)
+        folded = model.fold(model.init(jax.random.PRNGKey(5)))
+        plan = plan_stack(folded["params"]["rf_blocks"], f, heads)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((b, f, c)), jnp.float32)
+        h = jnp.asarray(rng.standard_normal((nblocks, b * f, c)) * 0.1,
+                        jnp.float32)
+        x_ref = x[None]
+        h_refs = []
+        for i, (bp, bs) in enumerate(zip(folded["params"]["rf_blocks"],
+                                         folded["stats"]["rf_blocks"])):
+            x_ref, h_t, _ = model._block_apply(bp, bs, x_ref, h[i],
+                                               train=False)
+            h_refs.append(h_t)
+        x_out, h_out = rnnformer_stack_step(plan, x, h, heads,
+                                            interpret=True, batch_tile=4)
+        np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref[0]),
+                                   atol=3e-5, err_msg=name)
+        for i in range(nblocks):
+            np.testing.assert_allclose(np.asarray(h_out[i]),
+                                       np.asarray(h_refs[i]), atol=3e-5,
+                                       err_msg=name)
+
+
+def test_auto_batch_tile_envelope():
+    from fastenhancer_tpu.ops.rnnformer_stack import _auto_batch_tile
+
+    # small problems: whole batch in one program
+    assert _auto_batch_tile(256, 16, 4) == 256
+    # 48 kHz B (f=36) at 256 streams: rows capped at 4096 -> tiled
+    tile = _auto_batch_tile(256, 36, 4)
+    assert tile < 256 and 256 % tile == 0 and tile * 36 <= 4096
+    # L (f=64, 8 heads) at 1024 streams: both limits bind, still a divisor
+    tile = _auto_batch_tile(1024, 64, 8)
+    assert 1024 % tile == 0 and tile * 64 <= 4096
+    assert 2 * 4 * tile * 64 * 8 * 64 <= 24 << 20
+    # prime stream count: degenerate but legal
+    assert _auto_batch_tile(257, 64, 8) == 1 or 257 % _auto_batch_tile(
+        257, 64, 8) == 0
 
 
 def test_rnnformer_stack_with_attn_bias():
