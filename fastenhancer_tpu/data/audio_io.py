@@ -92,6 +92,28 @@ def _read_riff(fh) -> tp.Tuple[np.ndarray, int]:
     return x, sr
 
 
+def read_audio(path: str, sr: tp.Optional[int] = None,
+               mono: bool = True) -> tp.Tuple[np.ndarray, int]:
+    """read_wav for .wav paths; anything else (flac/mp3/...) decodes via
+    soundfile when installed (the reference reads every format through
+    librosa; HiFi-TTS ships flac, reference: scripts/data/shard_hifitts1.py)."""
+    if path.lower().endswith(".wav"):
+        return read_wav(path, sr=sr, mono=mono)
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise ImportError(
+            f"decoding {path.rsplit('.', 1)[-1]} files needs the soundfile "
+            f"package (not in this environment)") from e
+    x, file_sr = sf.read(path, dtype="float32")
+    if x.ndim == 2:
+        x = x.mean(axis=1) if mono else np.ascontiguousarray(x.T)
+    if sr is not None and sr != file_sr:
+        x = resample(x, file_sr, sr)
+        file_sr = sr
+    return x, file_sr
+
+
 def write_wav(path: str, x: np.ndarray, sr: int) -> None:
     """Write float [-1,1] mono/stereo as PCM16."""
     x = np.asarray(x, np.float32)

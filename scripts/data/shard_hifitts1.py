@@ -1,0 +1,74 @@
+"""HiFi-TTS speech corpus (flac) -> shar shards.
+
+Adapter mirroring the reference's scripts/data/shard_hifitts1.py (:70-90,
+:178-255): recursive walk for --extension files (flac by default — decoded
+via soundfile when installed; wav needs nothing), mono downmix, polyphase
+resample to --fs, drop files shorter than --min-sec or with zero active
+RMS, one cut per file with `custom.rms`. The reference batches pool work
+(--batch-size) purely to bound writer-queue memory; here the writer
+consumes the pool iterator directly so memory stays bounded without
+batching, and --batch-size maps to the pool chunksize.
+
+    python -m scripts.data.shard_hifitts1 -n hifitts -d HIFITTS_AUDIO_DIR \
+        -s SHARD_ROOT [--fs 16000] [-e flac] [-j 8] [-f]
+"""
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+import numpy as np
+
+
+def process_speech_file(job, fs: int, min_sec: float):
+    idx, path = job
+    from fastenhancer_tpu.data.audio_io import read_audio
+    from scripts.audiolib import active_rms_relative
+
+    try:
+        audio, _ = read_audio(path, sr=fs)
+    except Exception as e:
+        return f"Error processing {path}: {e}"
+    rms = active_rms_relative(audio, fs)
+    if rms == 0.0:
+        return f"File {path} has zero active RMS, skipping."
+    if len(audio) / fs < min_sec:
+        return f"File {path} is too short ({len(audio) / fs:.2f}s), skipping."
+    return [{"id": str(idx), "audio": np.asarray(audio, np.float32),
+             "sr": fs, "custom": {"rms": float(rms)}}]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("-n", "--name", required=True)
+    ap.add_argument("-d", "--data-dir", required=True)
+    ap.add_argument("-s", "--shar-dir", default="data/shards/speech")
+    ap.add_argument("--fs", type=int, default=16000)
+    ap.add_argument("--min-sec", type=float, default=0.5)
+    ap.add_argument("-e", "--extension", default="flac")
+    ap.add_argument("-j", "--num-jobs", type=int, default=4)
+    ap.add_argument("--batch-size", type=int, default=1280,
+                    help="pool chunk sizing hint (see module docstring)")
+    ap.add_argument("-f", "--force", action="store_true")
+    ap.add_argument("--shard-size", type=int, default=1000)
+    args = ap.parse_args(argv)
+
+    from scripts.data.shar_writer import run_adapter
+    from scripts.data.shard_speech import collect_wavs
+
+    files = collect_wavs(args.data_dir, extension=args.extension)
+    print(f"Total files: {len(files)}")
+    run_adapter(
+        list(enumerate(files)),
+        functools.partial(process_speech_file, fs=args.fs,
+                          min_sec=args.min_sec),
+        args.shar_dir, args.name, shard_size=args.shard_size,
+        num_jobs=args.num_jobs, force=args.force)
+
+
+if __name__ == "__main__":
+    main()

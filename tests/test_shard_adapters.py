@@ -11,7 +11,7 @@ import os
 import numpy as np
 import pytest
 
-from fastenhancer_tpu.data.audio_io import write_wav
+from fastenhancer_tpu.data.audio_io import read_wav, write_wav
 from fastenhancer_tpu.data.shard import ShardSource
 
 SR = 16000
@@ -189,3 +189,176 @@ def test_pick_rir_accepts_reference_onset_key(tmp_path):
     ds = types.SimpleNamespace(rir=FakeAux(FakeCut({})))
     _, onset, _ = shard_mod.ShardDataset._pick_rir(ds, None, 100)
     assert onset == 7
+
+
+def test_shard_brudex_adapter(tmp_path):
+    from scripts.data.shard_brudex import main
+
+    corpus = tmp_path / "brudex"
+    rng = np.random.default_rng(3)
+    rir = np.zeros(SR // 4, np.float32)
+    rir[100] = 1.0
+    rir[101:] = (0.3 * rng.standard_normal(SR // 4 - 101)
+                 * np.exp(-np.arange(SR // 4 - 101) / (0.05 * SR))
+                 ).astype(np.float32)
+    (corpus / "rev_low").mkdir(parents=True)
+    (corpus / "rev_high").mkdir()
+    write_wav(str(corpus / "rev_low" / "a.wav"),
+              np.stack([rir, 0.5 * rir], 1), SR)   # stereo -> 2 cuts
+    write_wav(str(corpus / "rev_high" / "b.wav"), rir, SR)
+
+    main(["-n", "brudex", "-b", str(corpus), "-s", str(tmp_path / "shards"),
+          "-j", "1"])
+    cuts = sorted(_read_all(tmp_path / "shards" / "brudex"),
+                  key=lambda c: c.id)
+    assert [c.id for c in cuts] == [
+        "rev_high_b_ch00_1", "rev_low_a_ch00_0", "rev_low_a_ch01_0"]
+    assert cuts[0].custom["t60"] == pytest.approx(1300.0)  # milliseconds
+    assert cuts[1].custom["t60"] == pytest.approx(310.0)
+    assert all(c.custom["is_real"] is True for c in cuts)
+    assert all(abs(c.custom["onset_sample"] - 100) <= 2 for c in cuts)
+    # channel split: ch01 is the half-gain copy
+    assert cuts[2].audio[100] == pytest.approx(0.5, abs=0.02)
+
+
+def test_shard_myriad_adapter(tmp_path):
+    from scripts.data.shard_myriad import main
+
+    corpus = tmp_path / "myriad"
+    rir = np.zeros(SR // 4, np.float32)
+    rir[50] = 0.9
+    (corpus / "SAL" / "pos1").mkdir(parents=True)
+    (corpus / "AIL" / "pos2").mkdir(parents=True)
+    write_wav(str(corpus / "SAL" / "pos1" / "r.wav"), rir, SR)
+    write_wav(str(corpus / "AIL" / "pos2" / "q.wav"), rir, SR)
+
+    main(["-n", "myriad", "-b", str(corpus), "-s", str(tmp_path / "shards"),
+          "-j", "1"])
+    cuts = sorted(_read_all(tmp_path / "shards" / "myriad"),
+                  key=lambda c: c.id)
+    # entries sorted globally: AIL path sorts before SAL
+    assert [c.id for c in cuts] == ["AIL_pos2_q_0", "SAL_pos1_r_1"]
+    assert cuts[0].custom["t60"] == pytest.approx(0.5)   # seconds
+    assert cuts[1].custom["t60"] == pytest.approx(2.1)
+    assert all(c.custom["onset_sample"] == 50 for c in cuts)
+
+
+def test_gen_rir_csvs(tmp_path, capsys):
+    from scripts.data.gen_brudex_csv import main as brudex_main
+    from scripts.data.gen_myriad_csv import main as myriad_main
+
+    bx = tmp_path / "brudex"
+    (bx / "rev_medium").mkdir(parents=True)
+    rir = np.zeros(1000, np.float32)
+    rir[10] = 1.0
+    write_wav(str(bx / "rev_medium" / "a.wav"), np.stack([rir] * 3, 1), SR)
+    out = tmp_path / "brudex.csv"
+    brudex_main(["--base-dir", str(bx), "-o", str(out)])
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "path,channel,t60"
+    assert lines[1:] == ["rev_medium/a.wav,1,0.51",
+                         "rev_medium/a.wav,2,0.51",
+                         "rev_medium/a.wav,3,0.51"]
+
+    my = tmp_path / "myriad"
+    (my / "SAL" / "sub").mkdir(parents=True)
+    write_wav(str(my / "SAL" / "sub" / "r.wav"), rir, SR)
+    out2 = tmp_path / "myriad.csv"
+    myriad_main(["--base-dir", str(my), "-o", str(out2)])
+    assert out2.read_text().strip().splitlines()[1] == "SAL/sub/r.wav,1,2.1"
+    # the generated CSV feeds shard_dns_rir-style loaders: 3 columns
+    capsys.readouterr()
+
+
+def test_preprocess_brudex_mat_roundtrip(tmp_path):
+    from scripts.data.preprocess_brudex import main
+
+    src = tmp_path / "mat"
+    (src / "room1").mkdir(parents=True)
+    sr_in = 48000
+    t = np.arange(sr_in // 2) / sr_in
+    data = np.stack([np.sin(2 * np.pi * 500 * t),
+                     0.25 * np.sin(2 * np.pi * 800 * t)], axis=1)
+
+    # MAT v7.3 (HDF5): MATLAB stores [T, C] column-major, so the h5py view
+    # is transposed
+    import h5py
+
+    with h5py.File(str(src / "room1" / "a.mat"), "w") as f:
+        f["data"] = data.T
+        f["fs"] = np.array([[float(sr_in)]])
+    # pre-7.3 MAT via scipy
+    from scipy.io import savemat
+
+    savemat(str(src / "b.mat"), {"data": data, "fs": sr_in})
+
+    out = tmp_path / "wav16"
+    main(["--from-dir", str(src), "--to-dir", str(out), "--to-sr", "16000",
+          "--num-workers", "1"])
+    for rel in ("room1/a.wav", "b.wav"):
+        y, sr = read_wav(str(out / rel), mono=False)
+        assert sr == 16000
+        assert y.shape == (2, sr_in // 2 // 3)   # 48k -> 16k
+        assert np.abs(y).max() == pytest.approx(0.99, abs=0.02)
+        # channel order preserved: ch1 is the quarter-gain 800 Hz tone
+        assert np.abs(y[1]).max() < 0.5 * np.abs(y[0]).max()
+
+
+def test_preprocess_expresso(tmp_path):
+    from scripts.data.preprocess_expresso import main, split_vad_based
+
+    root = tmp_path / "audio_48khz"
+    sr = SR
+
+    def tone(sec, f=440.0, amp=0.3):
+        tt = np.arange(int(sec * sr)) / sr
+        return (amp * np.sin(2 * np.pi * f * tt)).astype(np.float32)
+
+    conv = root / "conversational" / "ex01"
+    conv.mkdir(parents=True)
+    stereo = np.stack([tone(5.0), tone(5.0, 220.0)], 1)
+    write_wav(str(conv / "ex01_convo.wav"), stereo, sr)
+
+    lf = root / "read" / "spk1" / "narration" / "longform"
+    lf.mkdir(parents=True)
+    write_wav(str(lf / "spk1_narr_long.wav"), tone(3.0), sr)
+    # a base-only style dir -> symlinked whole
+    (root / "read" / "spk1" / "enunciated" / "base").mkdir(parents=True)
+
+    vad = tmp_path / "VAD_segments.txt"
+    vad.write_text(
+        "ex01_convo/channel1\t(0.50, 3.00)\n"
+        "ex01_convo/channel2\t(2.50, 4.00)\n"
+        "spk1_narr_long\t(0.20, 2.80)\n")
+
+    out = root / "segmented"
+    main(["--dataset-root", str(root), "--vad-file", str(vad),
+          "--output-dir", str(out)])
+    y, _ = read_wav(str(out / "conversational" / "ex01"
+                        / "ex01_convo_0000.wav"))
+    assert len(y) == int(3.5 * sr)  # union of (0.5,3.0)+(2.5,4.0)
+    y2, _ = read_wav(str(out / "read" / "spk1" / "narration" / "longform"
+                         / "spk1_narr_long_0000.wav"))
+    assert len(y2) == int(2.6 * sr)
+    assert os.path.islink(out / "read" / "spk1" / "enunciated")
+
+    # vad sub-split searches BACKWARD for the last silence in the window
+    audio = np.concatenate([tone(8.0), np.zeros(sr, np.float32), tone(3.0)])
+    subs = split_vad_based(audio, sr, max_dur=10.0, min_dur=5.0)
+    assert len(subs) == 2
+    assert 8.8 * sr <= len(subs[0]) <= 9.1 * sr  # cut near the gap's END
+
+
+def test_shard_hifitts_adapter(tmp_path):
+    from scripts.data.shard_hifitts1 import main
+
+    corpus = tmp_path / "hifitts"
+    (corpus / "spk" / "book").mkdir(parents=True)
+    write_wav(str(corpus / "spk" / "book" / "u1.wav"), _tone(1.0), SR)
+    write_wav(str(corpus / "spk" / "book" / "u2.wav"),
+              np.zeros(SR, np.float32), SR)   # zero active RMS -> skipped
+
+    main(["-n", "hifitts", "-d", str(corpus), "-s", str(tmp_path / "shards"),
+          "-e", "wav", "-j", "1"])
+    cuts = _read_all(tmp_path / "shards" / "hifitts")
+    assert len(cuts) == 1 and cuts[0].custom["rms"] > 0
