@@ -93,6 +93,9 @@ class Cut:
     # extra shard fields loaded in lockstep (e.g. "codec", "echo");
     # reference stores these as parallel tars (codec.NNNNNN.tar, :649-656)
     extras: tp.Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    # first supervision's custom payload (test-set builders store per-cut
+    # SNR/SER/dbFS there, reference scripts/data/shard_test.py:131-196)
+    sup: tp.Dict[str, tp.Any] = dataclasses.field(default_factory=dict)
 
 
 class ShardSource:
@@ -221,10 +224,11 @@ class ShardSource:
                     print(f"[shard-debug] slow cut {stem} from "
                           f"{tars['recording']}")
                 t0 = time.perf_counter()
+                sups = meta.get("supervisions") or [{}]
                 yield Cut(id=stem, duration=float(meta.get("duration",
                           len(audio) / 16000)),
                           audio=audio, custom=meta.get("custom") or {},
-                          extras=extras)
+                          extras=extras, sup=sups[0].get("custom") or {})
 
 
 class WeightedMux:

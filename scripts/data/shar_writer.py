@@ -29,7 +29,21 @@ import numpy as np
 Cut = tp.Dict[str, tp.Any]  # {"id", "audio", "sr"[, "custom"]}
 
 
-def wav_bytes(x: np.ndarray, sr: int) -> bytes:
+def wav_bytes(x: np.ndarray, sr: int, float32: bool = False) -> bytes:
+    """Mono wav encode: PCM16, or IEEE-float32 (format 3) for payloads
+    that must not be quantized/clipped, e.g. RIR fields (the reference's
+    test-set builder stores RIRs as raw numpy arrays,
+    scripts/data/shard_test.py:150-158)."""
+    if float32:
+        import struct
+
+        data = np.asarray(x, "<f4").tobytes()
+        return (b"RIFF" + struct.pack("<I", 4 + 26 + 12 + len(data))
+                + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 18, 3, 1, sr, sr * 4,
+                                        4, 32) + b"\x00\x00"
+                + b"fact" + struct.pack("<II", 4, len(x))
+                + b"data" + struct.pack("<I", len(data)) + data)
     buf = io.BytesIO()
     pcm = np.clip(x * 32768.0, -32768, 32767).astype("<i2")
     with wave_mod.open(buf, "wb") as f:
@@ -41,31 +55,53 @@ def wav_bytes(x: np.ndarray, sr: int) -> bytes:
 
 
 class ShardWriter:
-    """Streams cuts into cuts.NNNNNN.jsonl.gz + recording.NNNNNN.tar pairs."""
+    """Streams cuts into cuts.NNNNNN.jsonl.gz + recording.NNNNNN.tar pairs.
 
-    def __init__(self, out_dir: str, shard_size: int = 1000):
+    `fields` beyond "recording" open parallel tars (noise.NNNNNN.tar,
+    echo.NNNNNN.tar, ...) whose members stay in recording order — the
+    lhotse-shar alignment contract our reader consumes
+    (fastenhancer_tpu/data/shard.py ShardSource fields=...). Such cuts
+    carry the arrays in cut["extras"][field]; an optional cut["sup"] dict
+    is written as the first supervision's custom payload (reference
+    test-set builder stores per-cut SNR/SER/dbFS there,
+    scripts/data/shard_test.py:131-196)."""
+
+    def __init__(self, out_dir: str, shard_size: int = 1000,
+                 fields: tp.Sequence[str] = ("recording",)):
         self.out_dir = out_dir
         self.shard_size = shard_size
+        self.fields = tuple(fields)
         os.makedirs(out_dir, exist_ok=True)
         self.shard_idx = 0
         self.written = 0
         self.total_sec = 0.0
-        self._tar: tp.Optional[tarfile.TarFile] = None
+        self._tars: tp.Dict[str, tarfile.TarFile] = {}
         self._metas: tp.List[dict] = []
 
     def write(self, cut: Cut) -> None:
-        if self._tar is None:
-            self._tar = tarfile.open(os.path.join(
-                self.out_dir, f"recording.{self.shard_idx:06d}.tar"), "w")
+        if not self._tars:
+            self._tars = {
+                f: tarfile.open(os.path.join(
+                    self.out_dir, f"{f}.{self.shard_idx:06d}.tar"), "w")
+                for f in self.fields}
         audio = np.asarray(cut["audio"], np.float32)
         sr = int(cut["sr"])
         meta = {"id": cut["id"], "duration": len(audio) / sr}
         if cut.get("custom"):
             meta["custom"] = cut["custom"]
-        data = wav_bytes(audio, sr)
-        info = tarfile.TarInfo(f"{cut['id']}.wav")
-        info.size = len(data)
-        self._tar.addfile(info, io.BytesIO(data))
+        if cut.get("sup") is not None:
+            meta["supervisions"] = [{
+                "id": cut["id"], "recording_id": cut["id"], "start": 0,
+                "duration": meta["duration"], "custom": cut["sup"]}]
+        payloads = {"recording": audio}
+        payloads.update(cut.get("extras") or {})
+        float_fields = set(cut.get("float_fields") or ("rir",))
+        for field, tar in self._tars.items():
+            data = wav_bytes(np.asarray(payloads[field], np.float32), sr,
+                             float32=field in float_fields)
+            info = tarfile.TarInfo(f"{cut['id']}.wav")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
         self._metas.append(meta)
         self.written += 1
         self.total_sec += meta["duration"]
@@ -73,16 +109,17 @@ class ShardWriter:
             self._flush()
 
     def _flush(self) -> None:
-        if self._tar is None:
+        if not self._tars:
             return
-        self._tar.close()
+        for tar in self._tars.values():
+            tar.close()
         with gzip.open(os.path.join(
                 self.out_dir,
                 f"cuts.{self.shard_idx:06d}.jsonl.gz"), "wt") as f:
             for m in self._metas:
                 f.write(json.dumps(m) + "\n")
         self.shard_idx += 1
-        self._tar = None
+        self._tars = {}
         self._metas = []
 
     def close(self) -> str:
@@ -107,6 +144,7 @@ def run_adapter(
     shard_size: int = 1000,
     num_jobs: int = 1,
     force: bool = False,
+    fields: tp.Sequence[str] = ("recording",),
 ) -> tp.Optional[str]:
     """Pool-process `jobs` with `process_one` (returns cuts, or an error/skip
     string) and stream results into `out_dir/name`. Writes a `.{name}.done`
@@ -122,7 +160,7 @@ def run_adapter(
 
         shutil.rmtree(root, ignore_errors=True)
     n = 0
-    with ShardWriter(root, shard_size) as writer:
+    with ShardWriter(root, shard_size, fields=fields) as writer:
         if num_jobs > 1:
             pool = ProcessPoolExecutor(num_jobs)
             results = pool.map(process_one, jobs, chunksize=4)

@@ -1,0 +1,246 @@
+"""Test-set synthesizer (scripts/data/shard_test.py) + corpus_utils.
+
+Mirrors the reference's scripts/data/shard_test.py: a fixed evaluation
+set where every cut freezes its degradation recipe — parallel noise /
+rir / farend / echo tars plus per-cut SNR/SER/dbFS supervision custom —
+and scripts/data/utils.py's samplers. Synthesized corpora throughout.
+"""
+import math
+import os
+import random
+
+import numpy as np
+import pytest
+import yaml
+
+from fastenhancer_tpu.data.audio_io import read_wav, write_wav
+from fastenhancer_tpu.data.shard import ShardSource
+
+SR = 16000
+
+
+def _tone(seconds, freq=440.0, amp=0.2):
+    t = np.arange(int(seconds * SR)) / SR
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def _noise(seconds, seed=0, amp=0.1):
+    rng = np.random.default_rng(seed)
+    return (amp * rng.standard_normal(int(seconds * SR))).astype(np.float32)
+
+
+# ---------------------------------------------------------------- utils --
+
+
+def test_directories_walk_exclude_tsv(tmp_path):
+    from scripts.data.corpus_utils import Directories
+
+    root = tmp_path / "noise"
+    (root / "keep").mkdir(parents=True)
+    (root / "skip").mkdir()
+    for i in range(3):
+        write_wav(str(root / "keep" / f"n{i}.wav"), _noise(0.2, i), SR)
+    write_wav(str(root / "skip" / "bad.wav"), _noise(0.2), SR)
+    d = Directories([str(root)],
+                    directories_to_exclude=[str(root / "skip")],
+                    extension="")
+    assert len(d) == 3
+    random.seed(0)
+    assert all("skip" not in d.choice() for _ in range(20))
+
+    # tsv listing: first column, relative to the tsv's parent
+    tsv = root / "list.tsv"
+    tsv.write_text("keep/n0.wav\tmeta\nkeep/n2.wav\tmeta\n")
+    d2 = Directories([str(tsv)], extension="")
+    assert len(d2) == 2
+    assert os.path.exists(d2.choice())
+
+
+def test_directories_dataset_concat_and_normalize(tmp_path):
+    from scripts.data.corpus_utils import DirectoriesDataset
+
+    root = tmp_path / "noise"
+    root.mkdir()
+    for i in range(2):
+        write_wav(str(root / f"n{i}.wav"), _noise(0.5, i), SR)
+    ds = DirectoriesDataset(
+        {"pool": {"directories_to_include": [str(root)], "extension": "",
+                  "probability": 1.0}},
+        fs=SR, silence_length=0.1, activity_threshold_relative=-25.0)
+    random.seed(1)
+    wav, paths = ds(2.0)
+    assert len(wav) == 2 * SR
+    assert paths.count(".wav") >= 2  # concatenated several clips
+    # clips are normalized to -25 dBFS active RMS before concat
+    from scripts.audiolib import active_rms_relative
+
+    first = wav[: int(0.5 * SR)]
+    db = 20 * np.log10(active_rms_relative(first, SR) + 1e-12)
+    assert abs(db - (-25.0)) < 3.0
+
+
+def test_reverb_dataset_channel_and_t60(tmp_path):
+    from scripts.data.corpus_utils import ReverbDataset
+
+    rir_dir = tmp_path / "rirs"
+    rir_dir.mkdir()
+    rir = np.zeros(SR // 4, np.float32)
+    rir[64] = 1.0
+    write_wav(str(rir_dir / "r.wav"), np.stack([rir, 0.5 * rir], 1), SR)
+    csv = tmp_path / "r.csv"
+    csv.write_text("path,channel,t60\nr.wav,2,0.42\n")
+    ds = ReverbDataset(SR, {"pool": {"csv": str(csv),
+                                     "base_dir": str(rir_dir),
+                                     "prob": 1.0}})
+    random.seed(0)
+    got, t60, onset = ds()
+    assert t60 == pytest.approx(0.42)
+    assert abs(onset - 64) <= 2
+    assert got[64] == pytest.approx(0.5, abs=0.02)  # channel 2
+
+
+# ------------------------------------------------------------ shard_test --
+
+
+def _speech_corpus(tmp_path, n=3):
+    sp = tmp_path / "speech"
+    sp.mkdir()
+    for i in range(n):
+        write_wav(str(sp / f"s{i}.wav"), _tone(1.0 + 0.3 * i, 300 + 50 * i,
+                                               amp=0.3), SR)
+    return sp
+
+
+def _noise_corpus(tmp_path):
+    nz = tmp_path / "noise"
+    nz.mkdir()
+    for i in range(2):
+        write_wav(str(nz / f"n{i}.wav"), _noise(2.0, i), SR)
+    return nz
+
+
+def _rir_setup(tmp_path):
+    rd = tmp_path / "rirs"
+    rd.mkdir()
+    rir = np.zeros(SR // 8, np.float32)
+    rir[32] = 1.0
+    rir[33:200] = 0.2 * np.exp(-np.arange(167) / 400.0)
+    write_wav(str(rd / "r0.wav"), rir, SR)
+    csv = tmp_path / "rir.csv"
+    csv.write_text("path,channel,t60\nr0.wav,1,0.3\n")
+    return rd, csv, rir
+
+
+def test_shard_test_noise_rir(tmp_path):
+    from scripts.data.shard_test import main
+
+    sp = _speech_corpus(tmp_path)
+    nz = _noise_corpus(tmp_path)
+    rd, csv, rir_src = _rir_setup(tmp_path)
+    cfg = {
+        "fs": SR, "silence_length": 0.1,
+        "activity_threshold_relative": -25.0,
+        "activity_threshold_absolute": -50.0,
+        "input": {
+            "nearend_speech": {"base_dir": str(sp), "extension": ".wav"},
+            "nearend_noise": {"pool": {
+                "directories_to_include": [str(nz)], "extension": "",
+                "probability": 1.0}},
+            "rir": {"pool": {"csv": str(csv), "base_dir": str(rd),
+                             "prob": 1.0}},
+        },
+        "nearend": {"speech_dbFS": [-30.0, -15.0],
+                    "noise": {"snr": [-5, 15, 5]},
+                    "rir": {"prob": 0.5}},
+    }
+    cfg_path = tmp_path / "se_test.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+
+    main(["-n", "testset", "-c", str(cfg_path),
+          "-s", str(tmp_path / "shards"), "-j", "1"])
+    src = ShardSource(str(tmp_path / "shards" / "testset"),
+                      fields=("recording", "rir", "noise"))
+    cuts = sorted(src.iter_cuts(seed=0), key=lambda c: int(c.id))
+    assert len(cuts) == 3
+    for i, c in enumerate(cuts):
+        assert len(c.audio) == int((1.0 + 0.3 * i) * SR)
+        assert len(c.extras["noise"]) == len(c.audio)  # match_length
+        assert c.custom["rms"] > 0 and c.custom["rms_noise"] > 0
+        assert c.custom["rir_t60"] == pytest.approx(0.3)
+        assert abs(c.custom["rir_onset"] - 32) <= 2
+        # float32 rir field: matches the (pcm16-decoded) source RIR
+        np.testing.assert_allclose(c.extras["rir"], rir_src, atol=1e-3)
+        assert c.sup["snr"] in range(-5, 16, 5)
+        assert -30.0 <= c.sup["dbFS"] <= -15.0
+        assert isinstance(c.sup["return_rir"], bool)
+    # frozen set: rerun without --force refuses
+    main(["-n", "testset", "-c", str(cfg_path),
+          "-s", str(tmp_path / "shards"), "-j", "1"])
+    assert len(list(src.iter_cuts(seed=0))) == 3
+
+
+def _aec_setup(tmp_path):
+    base = tmp_path / "aec"
+    (base / "farend_speech").mkdir(parents=True)
+    (base / "echo_signal").mkdir()
+    for i in range(2):
+        write_wav(str(base / "farend_speech"
+                      / f"farend_speech_fileid_{i}.wav"),
+                  _tone(1.5, 500 + 100 * i, 0.25), SR)
+        write_wav(str(base / "echo_signal" / f"echo_fileid_{i}.wav"),
+                  _tone(1.5, 500 + 100 * i, 0.1), SR)
+    tsv = tmp_path / "real.tsv"
+    tsv.write_text("farend\techo\tncc\n")  # header only: pool empty
+    return base, tsv
+
+
+def test_shard_test_farend(tmp_path):
+    from scripts.data.shard_test import main
+
+    sp = _speech_corpus(tmp_path, n=2)
+    base, tsv = _aec_setup(tmp_path)
+    cfg = {
+        "fs": SR, "silence_length": 0.1,
+        "activity_threshold_relative": -25.0,
+        "input": {
+            "nearend_speech": {"base_dir": str(sp), "extension": ".wav"},
+            "farend": {
+                "aec_challenge_real": [
+                    {"base_dir": str(base), "tsv": str(tsv)}],
+                "aec_challenge_synthetic": {
+                    "base_dir": str(base), "id": {"lower": 0, "upper": 1}},
+            },
+        },
+        "nearend": {"speech_dbFS": [-25.0, -25.0],
+                    "noise": {"snr": [0, 0, 1]}},
+        "farend": {
+            "prob": {"farend_echo": 1.0, "farend_only": 0.0},
+            "aec_challenge_real": {"ser": [-10, 10, 5],
+                                   "ncc_threshold": 0.5, "prob": 0.0},
+            "aec_challenge_synthetic": {"ser": [-10, 10, 5], "prob": 1.0},
+        },
+    }
+    cfg_path = tmp_path / "se_aec.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    main(["-n", "aecset", "-c", str(cfg_path),
+          "-s", str(tmp_path / "shards"), "-j", "1"])
+    src = ShardSource(str(tmp_path / "shards" / "aecset"),
+                      fields=("recording", "farend", "echo"))
+    cuts = sorted(src.iter_cuts(seed=0), key=lambda c: int(c.id))
+    assert len(cuts) == 2
+    for c in cuts:
+        assert len(c.extras["farend"]) == len(c.audio)
+        assert len(c.extras["echo"]) == len(c.audio)
+        assert c.custom["rms_echo"] > 0
+        assert c.sup["farend_type"] == "synthetic"
+        assert c.sup["return_farend"] is True
+        assert c.sup["ser"] in [-10.0, -5.0, 0.0, 5.0, 10.0]
+
+    # farend_only: echo flagged absent -> SER serialized as infinity
+    cfg["farend"]["prob"] = {"farend_echo": 0.0, "farend_only": 1.0}
+    cfg_path.write_text(yaml.dump(cfg))
+    main(["-n", "aecset", "-c", str(cfg_path),
+          "-s", str(tmp_path / "shards"), "-j", "1", "-f"])
+    for c in src.iter_cuts(seed=0):
+        assert math.isinf(c.sup["ser"])
+        assert c.sup["return_farend"] is True
