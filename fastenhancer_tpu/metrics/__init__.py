@@ -5,8 +5,8 @@ scripts/metrics_ns.py):
 
   * SISDR — numpy, exact formula (scripts/metrics_ns.py:43-52);
   * STOI/ESTOI — own implementation (metrics/stoi.py);
-  * PESQ — via the `pesq` C library when installed, else gated with a clear
-    error (the package is absent in this environment);
+  * PESQ — via the `pesq` C library when installed, else the built-in
+    native ITU-T P.862 implementation (metrics/pesq_native.py);
   * DNSMOS/SCOREQ/WER — external-model metrics, gated the same way.
 
 `Metrics` mirrors the reference's submit/retrieve contract: submit batches
@@ -26,8 +26,13 @@ from ..data.audio_io import resample
 
 try:
     from pesq import pesq as _pesq_fn
+    _PESQ_PROVIDER = "pesq-lib"
 except ImportError:
-    _pesq_fn = None
+    # native ITU-T P.862 implementation (metrics/pesq_native.py): the full
+    # pipeline with formula-derived tables — certified scores still require
+    # the `pesq` C library, which is preferred automatically when installed
+    from .pesq_native import pesq as _pesq_fn
+    _PESQ_PROVIDER = "p862-native"
 
 
 def sisdr(estimate: np.ndarray, reference: np.ndarray,
@@ -45,11 +50,12 @@ def sisdr(estimate: np.ndarray, reference: np.ndarray,
 
 
 def pesq_wb(clean: np.ndarray, enhanced: np.ndarray, sr: int) -> float:
-    """Wideband PESQ (ITU-T P.862.2) at 16 kHz via the pesq C library."""
-    if _pesq_fn is None:
-        raise ImportError(
-            "the `pesq` package is not installed in this environment; "
-            "PESQ scoring is unavailable (SISDR/STOI/ESTOI still work)")
+    """Wideband PESQ (ITU-T P.862.2) MOS-LQO at 16 kHz.
+
+    Uses the `pesq` C library when installed; otherwise the native P.862
+    implementation (see metrics/pesq_native.py docstring for its documented
+    deviations). `pesq_provider()` reports which one is active.
+    """
     if sr != 16_000:
         clean = resample(np.asarray(clean, np.float32), sr, 16_000)
         enhanced = resample(np.asarray(enhanced, np.float32), sr, 16_000)
@@ -60,9 +66,19 @@ def have_pesq() -> bool:
     return _pesq_fn is not None
 
 
+def pesq_provider() -> str:
+    """'pesq-lib' (certified C library) or 'p862-native' (built-in)."""
+    return _PESQ_PROVIDER
+
+
 def _pesq_job(args):
     clean, enhanced = args
-    return _pesq_fn(16_000, clean, enhanced, "wb")
+    try:
+        return float(_pesq_fn(16_000, clean, enhanced, "wb"))
+    except Exception:
+        # both providers can reject degenerate items (too short / silent /
+        # no detected utterance); score what scores, skip the rest
+        return float("nan")
 
 
 class Metrics:
@@ -80,11 +96,13 @@ class Metrics:
         self.sr = sr
         self.want_pesq = pesq and have_pesq()
         self.want_stoi = stoi
-        if pesq and not have_pesq():
-            print("[metrics] pesq package unavailable -> skipping PESQ")
+        if self.want_pesq and _PESQ_PROVIDER != "pesq-lib":
+            print("[metrics] using the native P.862 implementation "
+                  "(install `pesq` for certified scores)")
         self.num_workers = num_workers
         self._pool: tp.Optional[ProcessPoolExecutor] = None
         self._futures: tp.List = []
+        self._pesq_vals: tp.List[float] = []
         self._stoi_sum = 0.0
         self._n_stoi = 0
         self.best = {"pesq": 0.0, "stoi": 0.0, "pesq_epoch": -1,
@@ -92,6 +110,7 @@ class Metrics:
 
     def initialize(self) -> None:
         self._futures = []
+        self._pesq_vals = []
         self._stoi_sum = 0.0
         self._n_stoi = 0
 
@@ -109,18 +128,27 @@ class Metrics:
             else:
                 c16, e16 = c, e
             if self.want_pesq:
-                if self._pool is None:
-                    self._pool = ProcessPoolExecutor(self.num_workers)
-                self._futures.append(self._pool.submit(_pesq_job, (c16, e16)))
+                if _PESQ_PROVIDER == "pesq-lib":
+                    # the C library is slow + single-threaded: fan out to a
+                    # process pool (reference: utils/measure_metrics.py:100)
+                    if self._pool is None:
+                        self._pool = ProcessPoolExecutor(self.num_workers)
+                    self._futures.append(
+                        self._pool.submit(_pesq_job, (c16, e16)))
+                else:
+                    # native numpy implementation: fast enough inline, and
+                    # forking a pool out of a JAX-loaded process is unsafe
+                    self._pesq_vals.append(_pesq_job((c16, e16)))
             if self.want_stoi:
                 self._stoi_sum += stoi(c, e, self.sr)
                 self._n_stoi += 1
 
     def retrieve(self, epoch: int) -> tp.Dict[str, float]:
         out: tp.Dict[str, float] = {}
-        if self.want_pesq and self._futures:
-            vals = [f.result() for f in self._futures]
-            out["metrics/pesq"] = float(np.mean(vals))
+        if self.want_pesq and (self._futures or self._pesq_vals):
+            drained = self._pesq_vals + [f.result() for f in self._futures]
+            vals = [v for v in drained if np.isfinite(v)]
+            out["metrics/pesq"] = float(np.mean(vals)) if vals else 0.0
             if out["metrics/pesq"] > self.best["pesq"]:
                 self.best["pesq"] = out["metrics/pesq"]
                 self.best["pesq_epoch"] = epoch
@@ -130,6 +158,7 @@ class Metrics:
                 self.best["stoi"] = out["metrics/stoi"]
                 self.best["stoi_epoch"] = epoch
         self._futures = []
+        self._pesq_vals = []
         return out
 
     def state_dict(self) -> tp.Dict[str, tp.Any]:
@@ -144,4 +173,5 @@ class Metrics:
                 f"  best STOI {self.best['stoi']:.4f}@{self.best['stoi_epoch']}")
 
 
-__all__ = ["sisdr", "stoi", "estoi", "pesq_wb", "have_pesq", "Metrics"]
+__all__ = ["sisdr", "stoi", "estoi", "pesq_wb", "have_pesq",
+           "pesq_provider", "Metrics"]

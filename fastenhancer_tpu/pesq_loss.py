@@ -91,9 +91,19 @@ class PESQLoss:
         pb_ref = self._bark_spectrum(ref) * 1e4  # [B, N, 49]
         pb_deg = self._bark_spectrum(deg) * 1e4
 
-        # partial gain equalization (band-wise, time-averaged, clipped)
-        num = jnp.mean(pb_ref, axis=1, keepdims=True) + 1e3 * 1e-4
-        den = jnp.mean(pb_deg, axis=1, keepdims=True) + 1e3 * 1e-4
+        # partial FREQUENCY compensation of the reference toward the
+        # degraded spectrum (P.862 sec 10.2.2, clipped to +-20 dB): linear
+        # filtering is partially forgiven, exactly as in the metric —
+        # without this the loss over-penalizes bandwidth reduction relative
+        # to true P.862 (tests/test_pesq_native.py pins the rank agreement)
+        fnum = jnp.mean(pb_deg, axis=1, keepdims=True) + 1e3 * 1e-4
+        fden = jnp.mean(pb_ref, axis=1, keepdims=True) + 1e3 * 1e-4
+        pb_ref = pb_ref * jnp.clip(fnum / fden, 1e-2, 1e2)
+
+        # partial gain equalization of the degraded signal (band-wise,
+        # time-averaged, clipped)
+        num = jnp.mean(pb_ref, axis=(1, 2), keepdims=True) + 1e3 * 1e-4
+        den = jnp.mean(pb_deg, axis=(1, 2), keepdims=True) + 1e3 * 1e-4
         gain = jnp.clip(num / den, 3e-4, 5.0)
         pb_deg = pb_deg * gain
 
@@ -112,8 +122,15 @@ class PESQLoss:
         m = 0.25 * jnp.minimum(l_ref, l_deg)
         d = jnp.sign(d) * jnp.maximum(jnp.abs(d) - m, 0.0)
 
-        # symmetric: L2 over bark, then rms over frames
+        # P.862 clips frame disturbances at 45 (sec 10.2.5); as a loss we
+        # saturate smoothly (45*tanh(d/45)) so the bound holds but the
+        # gradient never hard-zeros on heavily degraded batches
+        def sat45(v):
+            return 45.0 * jnp.tanh(v / 45.0)
+
+        # symmetric: L2 over bark per frame, saturate, rms over frames
         d_sym = jnp.sqrt(jnp.mean(jnp.square(d), axis=-1) + 1e-12)
+        d_sym = sat45(d_sym)
         d_sym = jnp.sqrt(jnp.mean(jnp.square(d_sym), axis=-1) + 1e-12)
 
         # asymmetric: penalize additive distortion harder
@@ -121,8 +138,9 @@ class PESQLoss:
         asym = jnp.clip(ratio ** 1.2, 0.0, 12.0)
         asym = jnp.where(asym < 3.0, 0.0, asym)
         d_asym = jnp.sum(jnp.abs(d) * asym, axis=-1) / 49.0
+        d_asym = sat45(d_asym)
         d_asym = jnp.sqrt(jnp.mean(jnp.square(d_asym), axis=-1) + 1e-12)
 
         mos = 4.5 - 0.1 * d_sym - 0.0309 * d_asym
-        loss = (4.5 - mos) / 3.6  # 0 (perfect) .. ~1.25 (worst)
+        loss = (4.5 - mos) / 3.6  # 0 (perfect) .. ~1.6 (both terms clipped)
         return self.factor * jnp.mean(loss)

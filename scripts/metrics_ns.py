@@ -33,7 +33,8 @@ def main():
     from fastenhancer_tpu.utils.hparams import get_hparams
     from fastenhancer_tpu.wrappers import get_wrapper
     from fastenhancer_tpu.data import get_dataset_dataloader
-    from fastenhancer_tpu.metrics import sisdr, stoi, estoi, have_pesq
+    from fastenhancer_tpu.metrics import (sisdr, stoi, estoi, have_pesq,
+                                          pesq_provider)
 
     hps = get_hparams(None, base_dir=os.path.join(args.base_dir, args.name),
                       params=args.params)
@@ -48,8 +49,11 @@ def main():
     use_pesq = have_pesq()
     if use_pesq:
         from fastenhancer_tpu.metrics import pesq_wb
+        if pesq_provider() != "pesq-lib":
+            print("[metrics] PESQ via the native P.862 implementation "
+                  "(install `pesq` for certified scores)")
     else:
-        print("[metrics] pesq package unavailable -> skipping PESQ")
+        print("[metrics] pesq unavailable -> skipping PESQ")
 
     sums = {"sisdr": 0.0, "stoi": 0.0, "estoi": 0.0, "pesq": 0.0}
     n = 0

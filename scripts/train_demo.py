@@ -13,9 +13,10 @@ Steps:
      16 kHz, mix each with seeded white+babble-shaped noise at
      SNR in {2.5, 5, 7.5, 10} dB; last 2 utterances held out.
   2. train: configs/fastenhancer/t.yaml shrunk in epochs only (model is the
-     real FE_T), pesq metrics off (no pesq lib), batch 4.
+     real FE_T), in-training PESQ/STOI via the native P.862 implementation,
+     batch 4.
   3. eval: scripts.metrics_ns on the held-out pair, noisy-input baseline vs
-     enhanced; prints the SISDR/STOI deltas.
+     enhanced; prints the SISDR/STOI/PESQ deltas.
 """
 import argparse
 import os
@@ -88,7 +89,8 @@ def main():
                          "num_workers": 2, "save_interval": args.epochs,
                          "seed": args.seed})
     cfg["data"]["train"]["segment_size"] = 32000
-    cfg["pesq"]["interval"] = 0      # no pesq lib in this env
+    # in-training PESQ/STOI every few epochs (native P.862 implementation)
+    cfg["pesq"]["interval"] = max(args.epochs // 4, 1)
     cfg["infer"]["interval"] = 0
     cfg_path = os.path.join(args.workdir, "demo.yaml")
     with open(cfg_path, "w") as f:
@@ -105,14 +107,18 @@ def main():
     from fastenhancer_tpu.metrics import sisdr, stoi
     from fastenhancer_tpu.data.audio_io import read_wav
 
-    base = {"sisdr": [], "stoi": []}
+    from fastenhancer_tpu.metrics import pesq_wb
+
+    base = {"sisdr": [], "stoi": [], "pesq": []}
     for f in sorted(os.listdir(dirs["test_clean"])):
         c, _ = read_wav(os.path.join(dirs["test_clean"], f))
         n, _ = read_wav(os.path.join(dirs["test_noisy"], f))
         base["sisdr"].append(sisdr(n, c))
         base["stoi"].append(stoi(c, n, SR))
+        base["pesq"].append(pesq_wb(c, n, SR))
     print(f"noisy baseline: SISDR {np.mean(base['sisdr']):.2f} dB, "
-          f"STOI {np.mean(base['stoi']):.3f}")
+          f"STOI {np.mean(base['stoi']):.3f}, "
+          f"PESQ {np.mean(base['pesq']):.2f}")
     run = subprocess.run(
         [sys.executable, "-m", "scripts.metrics_ns", "-n", "demo",
          "--base_dir", logs], env=dict(os.environ))

@@ -11,11 +11,11 @@ utils/measure_metrics.py:151-157). This file pins them two ways:
      scale invariance, monotonicity over an SNR grid, near-zero score for
      uncorrelated noise.
 
-PESQ loss (`fastenhancer_tpu/pesq_loss.py`) cannot be compared to true
-P.862 without the pesq C library; instead we assert rank correlation with
-degradation severity across THREE degradation families (additive noise,
-low-pass filtering, clipping) — the property a training regularizer must
-have. True-PESQ MOS-LQO is monotone in each of these.
+PESQ loss (`fastenhancer_tpu/pesq_loss.py`) is pinned here by severity
+rank tests across THREE degradation families (additive noise, low-pass
+filtering, clipping) — the property a training regularizer must have.
+Its rank agreement against the native ITU-T P.862 metric itself is
+asserted separately in tests/test_pesq_native.py.
 """
 import numpy as np
 import pytest
