@@ -18,6 +18,9 @@ CONFIGS = sorted(
 @pytest.mark.parametrize("rel", CONFIGS)
 def test_model_builds_and_forwards(rel):
     cfg = yaml.safe_load(open(f"configs/{rel}.yaml"))
+    if "model_kwargs" not in cfg:
+        pytest.skip("not a model recipe (data-synthesis config, e.g. "
+                    "shard_test/se_test)")
     kwargs = dict(cfg["model_kwargs"])
     # shrink the big recurrent/attention stacks for test speed; keep the
     # model-specific kwargs themselves untouched

@@ -237,9 +237,32 @@ def test_metrics_ns_cli(smoke_run):
                 scores[k.strip()] = float(v)
             except ValueError:
                 pass
-    for k in ("SISDR", "STOI", "ESTOI"):
+    for k in ("SISDR", "STOI", "ESTOI", "PESQ"):
         assert k in scores and np.isfinite(scores[k]), (k, r.stdout)
     assert -1.0 <= scores["STOI"] <= 1.0
+    # PESQ always scores now (native P.862 provider when the C lib is absent)
+    assert 1.0 <= scores["PESQ"] <= 4.7
+
+
+def test_serve_cli(smoke_run, corpus, tmp_path):
+    """scripts.serve: dynamic-batched streaming engine over a wav dir —
+    staggered joins, slot reuse, per-tick latency report."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out_dir = str(tmp_path / "served")
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.serve", "-n", "smoke",
+         "--base_dir", str(smoke_run / "logs"),
+         "-i", str(corpus / "noisy"), "-o", out_dir,
+         "--capacity", "3", "--stagger", "2"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "tick latency" in r.stdout, r.stdout
+    outs = sorted(os.listdir(out_dir))
+    assert outs == sorted(os.listdir(corpus / "noisy"))
+    x, sr = read_wav(str(corpus / "noisy" / outs[0]))
+    y, sr2 = read_wav(os.path.join(out_dir, outs[0]))
+    assert sr2 == sr and len(y) == len(x)
+    assert np.isfinite(y).all() and np.abs(y).max() > 0
 
 
 def test_resample_cli(corpus, tmp_path):

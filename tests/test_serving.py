@@ -1,0 +1,186 @@
+"""StreamingEngine (fastenhancer_tpu/serving.py): slot-based dynamic batching.
+
+The property that matters: a stream served through a busy engine — other
+streams joining, leaving, and reusing its neighbours' slots — produces
+exactly the output of an isolated `model.stream()` run. That proves both
+slot isolation (no state bleed across the batch axis) and the generic
+carry-reset (the inferred slot axes really do reinitialize the whole
+per-stream state: STFT/iSTFT caches, GRU hiddens, rolling KV, conv caches).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fastenhancer_tpu.models import get_model
+from fastenhancer_tpu.serving import StreamingEngine
+
+HOP = 256
+
+T_KWARGS = dict(
+    channels=24, kernel_size=[8, 3, 3], stride=4,
+    rnnformer_kwargs=dict(num_blocks=2, channels=20, freq=16, num_heads=4,
+                          eps=1.0e-5, positional_embedding="train",
+                          attn_bias=False, post_act=False, pre_norm=False),
+    pre_post_init="linear_fixed", n_fft=512, hop_size=HOP, win_size=512,
+    window="hann", stft_normalized=False, mask=None, activation="SiLU",
+    input_compression=0.3, normalize_final_conv=True, weight_norm=True)
+
+DPT_KWARGS = dict(
+    channels=16, kernel_size=[8, 3, 3], stride=4,
+    dpt_kwargs=dict(num_blocks=2, channels=12, freq=16, num_heads=4,
+                    eps=1.0e-5, lookbehind=7, positional_embedding="train",
+                    attn_bias=False, post_act=False, pre_norm=False),
+    pre_post_init="linear_fixed", n_fft=512, hop_size=HOP, win_size=512,
+    window="hann", stft_normalized=False, mask=None, activation="SiLU",
+    input_compression=0.3, normalize_final_conv=True, weight_norm=True,
+    final_scale=True, final_scale_init="one")
+
+TK_KWARGS = dict(
+    channels=16, kernel_size_freq=[8, 3, 3], kernel_size_time=3, stride=4,
+    rnnformer_kwargs=dict(num_blocks=2, channels=12, freq=16, num_heads=4,
+                          eps=1.0e-5, positional_embedding="train",
+                          attn_bias=False, post_act=False, pre_norm=False),
+    pre_post_init="linear_fixed", n_fft=512, hop_size=HOP, win_size=512,
+    window="hann", stft_normalized=False, mask=None, activation="SiLU",
+    input_compression=0.3, normalize_final_conv=True, weight_norm=True,
+    final_scale=True)
+
+BSRNN_KWARGS = dict(num_channels=16, num_layers=2, bias=True, affine=True,
+                    n_fft=512, hop_size=HOP, win_size=512, window="hann",
+                    input_compression=0.3)
+
+
+def _wav(n_hops, seed):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-0.5, 0.5, n_hops * HOP).astype(np.float32)
+
+
+def _build(name, kwargs):
+    model = get_model(name, **kwargs)
+    variables = model.init(jax.random.PRNGKey(0))
+    return model, variables
+
+
+def _isolated(model, variables, wav):
+    """Single-stream oracle: the tested stream() API (raw hop outputs are
+    delayed n_fft-hop), delay-compensated to match
+    StreamingEngine.run_stream's output alignment."""
+    delay = model.stft_cfg.n_fft - model.stft_cfg.hop_size
+    pad = -(-delay // HOP) * HOP
+    padded = np.concatenate([wav, np.zeros(pad, np.float32)])
+    out = np.asarray(model.stream(variables, jnp.asarray(padded[None])))[0]
+    return out[delay:delay + len(wav)]
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("fastenhancer.default", T_KWARGS),
+    ("fastenhancer.dptransformer", DPT_KWARGS),
+    ("fastenhancer.time_kernel", TK_KWARGS),
+    ("bsrnn", BSRNN_KWARGS),
+])
+def test_slot_isolation_and_reuse(name, kwargs):
+    """Three streams interleaved through a capacity-3 engine with mid-run
+    join/leave/slot-reuse must each match their isolated run."""
+    model, variables = _build(name, kwargs)
+    engine = StreamingEngine(model, variables, capacity=3)
+    wav_a, wav_b, wav_c = _wav(8, 1), _wav(6, 2), _wav(5, 3)
+
+    outs = {"a": [], "b": [], "c": []}
+    ha = engine.open_stream()
+    hb = engine.open_stream()
+    # ticks 0-1: a+b together
+    for i in range(2):
+        o = engine.tick({ha: wav_a[i * HOP:(i + 1) * HOP],
+                         hb: wav_b[i * HOP:(i + 1) * HOP]})
+        outs["a"].append(o[ha])
+        outs["b"].append(o[hb])
+    # b leaves mid-stream; c joins (reuses b's slot — must see fresh state)
+    engine.close_stream(hb)
+    hc = engine.open_stream()
+    assert engine._slot_of[hc] == 1  # really reusing the freed slot
+    for i in range(5):
+        o = engine.tick({ha: wav_a[(2 + i) * HOP:(3 + i) * HOP],
+                         hc: wav_c[i * HOP:(i + 1) * HOP]})
+        outs["a"].append(o[ha])
+        outs["c"].append(o[hc])
+    # a finishes its last hop alone (c receives silence this tick, which IS
+    # its first drain tick — ticks advance every active stream in lockstep,
+    # so c's tail must be collected from the same ticks)
+    zeros = np.zeros(HOP, np.float32)
+    o = engine.tick({ha: wav_a[7 * HOP:8 * HOP], hc: zeros})
+    outs["a"].append(o[ha])
+    outs["c"].append(o[hc])
+    # now drain both delays together
+    n_drain = -(-engine.delay_samples // HOP)
+    for _ in range(n_drain):
+        o = engine.tick({ha: zeros, hc: zeros})
+        outs["a"].append(o[ha])
+        outs["c"].append(o[hc])
+    engine.close_stream(ha)
+    engine.close_stream(hc)
+    assert engine.active == 0
+
+    delay = engine.delay_samples
+    got_a = np.concatenate(outs["a"])[delay:delay + len(wav_a)]
+    got_c = np.concatenate(outs["c"])[delay:delay + len(wav_c)]
+    ref_a = _isolated(model, variables, wav_a)
+    ref_c = _isolated(model, variables, wav_c)
+    np.testing.assert_allclose(got_a, ref_a, atol=2e-5)
+    np.testing.assert_allclose(got_c, ref_c, atol=2e-5)
+    # b's partial output (never flushed) still matches its isolated prefix
+    got_b = np.concatenate(outs["b"])[delay:]
+    ref_b = _isolated(model, variables, wav_b)[:len(got_b)]
+    np.testing.assert_allclose(got_b, ref_b, atol=2e-5)
+
+
+def test_run_stream_convenience_and_silence_ticks():
+    model, variables = _build("fastenhancer.default", T_KWARGS)
+    engine = StreamingEngine(model, variables, capacity=2)
+    h_bg = engine.open_stream()          # idle stream receiving silence
+    h = engine.open_stream()
+    wav = _wav(6, 7)
+    got = engine.run_stream(h, wav)
+    ref = _isolated(model, variables, wav)
+    assert got.shape == ref.shape == wav.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    engine.close_stream(h)
+    engine.close_stream(h_bg)
+
+
+def test_capacity_and_handle_errors():
+    model, variables = _build("fastenhancer.default", T_KWARGS)
+    engine = StreamingEngine(model, variables, capacity=2)
+    h1 = engine.open_stream()
+    h2 = engine.open_stream()
+    with pytest.raises(RuntimeError):
+        engine.open_stream()
+    engine.close_stream(h1)
+    h3 = engine.open_stream()            # freed slot reusable
+    with pytest.raises(KeyError):
+        engine.tick({h1: np.zeros(HOP, np.float32)})   # closed handle
+    with pytest.raises(ValueError):
+        engine.tick({h3: np.zeros(HOP - 1, np.float32)})
+    with pytest.raises(KeyError):
+        engine.close_stream(12345)
+    with pytest.raises(ValueError):
+        StreamingEngine(model, variables, capacity=1)
+    del h2
+
+
+def test_fused_engine_matches_unfused():
+    """fused=True (folded variables + the Pallas stack kernel, interpreted
+    on CPU) serves the same streams as the XLA step."""
+    model, variables = _build("fastenhancer.default", T_KWARGS)
+    folded = model.fold(variables)
+    wav = _wav(5, 9)
+    plain = StreamingEngine(model, folded, capacity=2)
+    fused = StreamingEngine(model, folded, capacity=2, fused=True)
+    hp_bg = plain.open_stream()
+    hp = plain.open_stream()
+    hf_bg = fused.open_stream()
+    hf = fused.open_stream()
+    del hp_bg, hf_bg
+    got_plain = plain.run_stream(hp, wav)
+    got_fused = fused.run_stream(hf, wav)
+    np.testing.assert_allclose(got_fused, got_plain, atol=5e-5)
