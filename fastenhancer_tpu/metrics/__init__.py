@@ -148,8 +148,11 @@ class Metrics:
         if self.want_pesq and (self._futures or self._pesq_vals):
             drained = self._pesq_vals + [f.result() for f in self._futures]
             vals = [v for v in drained if np.isfinite(v)]
-            out["metrics/pesq"] = float(np.mean(vals)) if vals else 0.0
-            if out["metrics/pesq"] > self.best["pesq"]:
+            # no key at all when every item was unscorable: MOS-LQO has no
+            # meaningful zero, and a fake 0.0 would pollute TB/best-tracking
+            if vals:
+                out["metrics/pesq"] = float(np.mean(vals))
+            if vals and out["metrics/pesq"] > self.best["pesq"]:
                 self.best["pesq"] = out["metrics/pesq"]
                 self.best["pesq_epoch"] = epoch
         if self.want_stoi and self._n_stoi:

@@ -36,7 +36,7 @@ installed, `fastenhancer_tpu.metrics.pesq_wb` prefers it automatically.
 """
 from __future__ import annotations
 
-import typing as tp
+import functools
 
 import numpy as np
 
@@ -312,7 +312,7 @@ def pesq_raw(ref: np.ndarray, deg: np.ndarray, sr: int,
         delay = 0
     deg = _apply_delay(deg, delay)
 
-    bands = _Bands(sr) if sr != 16_000 else _BANDS_16K
+    bands = _get_bands(sr)
     pr = bands.pitch_power(_frames_power(ref, bands))
     pd = bands.pitch_power(_frames_power(deg, bands))
     t = min(len(pr), len(pd))
@@ -375,7 +375,9 @@ def pesq_raw(ref: np.ndarray, deg: np.ndarray, sr: int,
     return float(4.5 - 0.1 * d_sym - 0.0309 * d_asym)
 
 
-_BANDS_16K = _Bands(16_000)
+@functools.lru_cache(maxsize=None)
+def _get_bands(sr: int) -> _Bands:
+    return _Bands(sr)
 
 
 def pesq(sr: int, ref: np.ndarray, deg: np.ndarray,

@@ -100,8 +100,9 @@ class PESQLoss:
         fden = jnp.mean(pb_ref, axis=1, keepdims=True) + 1e3 * 1e-4
         pb_ref = pb_ref * jnp.clip(fnum / fden, 1e-2, 1e2)
 
-        # partial gain equalization of the degraded signal (band-wise,
-        # time-averaged, clipped)
+        # partial gain equalization of the degraded signal (one scalar per
+        # item over time and bands, clipped — the loss's simplification of
+        # P.862's smoothed short-term gain)
         num = jnp.mean(pb_ref, axis=(1, 2), keepdims=True) + 1e3 * 1e-4
         den = jnp.mean(pb_deg, axis=(1, 2), keepdims=True) + 1e3 * 1e-4
         gain = jnp.clip(num / den, 3e-4, 5.0)

@@ -25,7 +25,11 @@ Design (TPU-first):
   * **Slot isolation is a tested property**: a stream's output through a
     busy engine equals its isolated single-stream run bit-for-bit modulo
     float tolerance, across interleaved opens/closes and slot reuse
-    (tests/test_serving.py).
+    (tests/test_serving.py — default / dptransformer / time_kernel / bsrnn
+    / fspen / lisennet, plus the fused Pallas step). The axis inference
+    assumes batch-MAJOR flattening of merged axes (h rows packed
+    [b0f0..b0fF, b1f0..]), which is how every model in the zoo packs its
+    caches; the per-family isolation test is what proves it.
 
 Typical use:
 
@@ -201,11 +205,13 @@ class StreamingEngine:
     def run_stream(self, handle: int, wav: np.ndarray) -> np.ndarray:
         """Convenience: stream a whole utterance through one handle (other
         active streams receive silence during these ticks) and return the
-        delay-compensated enhancement, same length as `wav`."""
+        delay-compensated enhancement, same length as `wav` (a trailing
+        partial hop is zero-padded on input and trimmed on output)."""
         wav = np.asarray(wav, np.float32)
-        n = len(wav) // self.hop * self.hop
-        outs = [self.tick({handle: wav[i:i + self.hop]})[handle]
-                for i in range(0, n, self.hop)]
+        n = len(wav)
+        padded = np.pad(wav, (0, -n % self.hop))
+        outs = [self.tick({handle: padded[i:i + self.hop]})[handle]
+                for i in range(0, len(padded), self.hop)]
         outs.append(self.flush(handle))
         return np.concatenate(outs)[self.delay_samples:
                                     self.delay_samples + n]

@@ -46,17 +46,16 @@ def main():
                                        ["clean", "noisy", "wav_len"],
                                        n_devices=wrapper.n_devices)
     sr = hps.data.sampling_rate
-    use_pesq = have_pesq()
+    use_pesq = have_pesq()   # always True since metrics/pesq_native.py
     if use_pesq:
         from fastenhancer_tpu.metrics import pesq_wb
         if pesq_provider() != "pesq-lib":
             print("[metrics] PESQ via the native P.862 implementation "
                   "(install `pesq` for certified scores)")
-    else:
-        print("[metrics] pesq unavailable -> skipping PESQ")
 
     sums = {"sisdr": 0.0, "stoi": 0.0, "estoi": 0.0, "pesq": 0.0}
     n = 0
+    n_pesq = 0
     for batch in loader:
         dev_batch, real_b = wrapper._device_batch(batch, ("clean", "noisy"))
         wav_hat = np.asarray(wrapper.infer_fn(wrapper.state["variables"],
@@ -69,14 +68,24 @@ def main():
             sums["stoi"] += stoi(c, e, sr)
             sums["estoi"] += estoi(c, e, sr)
             if use_pesq:
-                sums["pesq"] += pesq_wb(c, e, sr)
+                try:
+                    sums["pesq"] += pesq_wb(c, e, sr)
+                    n_pesq += 1
+                except Exception:
+                    # both providers reject degenerate items (too short /
+                    # silent); score the rest instead of aborting the run
+                    pass
             n += 1
             print(f"\rscored {n}", end="", flush=True)
         if args.max_items and n >= args.max_items:
             break
     print()
     for k, v in sums.items():
-        if k == "pesq" and not use_pesq:
+        if k == "pesq":
+            if use_pesq and n_pesq:
+                print(f"{k.upper():>6}: {v / n_pesq:.4f}"
+                      + (f"  ({n - n_pesq} unscorable)"
+                         if n_pesq < n else ""))
             continue
         print(f"{k.upper():>6}: {v / max(n, 1):.4f}")
 

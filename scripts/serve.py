@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16", "bf16"])
     args = ap.parse_args()
+    if args.stagger < 1:
+        ap.error("--stagger must be >= 1 (ticks between admissions)")
 
     import numpy as np
     import jax.numpy as jnp
@@ -90,12 +92,12 @@ def main():
             drain = -(-engine.delay_samples // hop)
             n_ticks = -(-len(wav) // hop) + drain
             sessions[h] = [f, np.pad(wav, (0, n_ticks * hop - len(wav))),
-                           0, []]
+                           0, [], len(wav)]
         if not sessions:
             tick_idx += 1
             continue
         hops = {}
-        for h, (f, wav, cur, outs) in sessions.items():
+        for h, (f, wav, cur, outs, _) in sessions.items():
             hops[h] = wav[cur * hop:(cur + 1) * hop]
         t0 = time.perf_counter()
         outs = engine.tick(hops)
@@ -108,10 +110,9 @@ def main():
             if sess[2] * hop >= len(sess[1]):
                 done.append(h)
         for h in done:
-            f, wav, _, outs_list = sessions.pop(h)
+            f, wav, _, outs_list, n = sessions.pop(h)
             engine.close_stream(h)
             full = np.concatenate(outs_list)[engine.delay_samples:]
-            n = len(read_wav(os.path.join(args.input_dir, f), sr=sr)[0])
             write_wav(os.path.join(args.output_dir, f), full[:n], sr)
             total_samples += n
             print(f"\rdone {len(files) - len(pending) - len(sessions)}"

@@ -50,6 +50,16 @@ BSRNN_KWARGS = dict(num_channels=16, num_layers=2, bias=True, affine=True,
                     n_fft=512, hop_size=HOP, win_size=512, window="hann",
                     input_compression=0.3)
 
+FSPEN_KWARGS = dict(channels=[4, 16, 32], kernel_size=[6, 8, 6],
+                    stride=[2, 2, 2],
+                    dpe_kwargs=dict(num_blocks=2, channels=16, freq=32,
+                                    groups=8, norm="LayerNorm-FreqChannels"),
+                    n_fft=512, hop_size=HOP, win_size=512, window="hann",
+                    input_compression=0.3)
+
+LISENNET_KWARGS = dict(num_channels=16, n_blocks=2, n_fft=512, hop_size=HOP,
+                       win_size=512, input_compression=0.3)
+
 
 def _wav(n_hops, seed):
     rng = np.random.default_rng(seed)
@@ -78,6 +88,8 @@ def _isolated(model, variables, wav):
     ("fastenhancer.dptransformer", DPT_KWARGS),
     ("fastenhancer.time_kernel", TK_KWARGS),
     ("bsrnn", BSRNN_KWARGS),
+    ("fspen", FSPEN_KWARGS),
+    ("lisennet", LISENNET_KWARGS),
 ])
 def test_slot_isolation_and_reuse(name, kwargs):
     """Three streams interleaved through a capacity-3 engine with mid-run
