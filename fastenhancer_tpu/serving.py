@@ -100,10 +100,15 @@ class StreamingEngine:
       capacity: slot count == compiled batch size. Must be >= 2 (the slot
         axis of each carry leaf is inferred from how shapes scale with it).
       dtype: carry/activation dtype (bf16 for serving, f32 default).
+      devices: shard the slots over the first N local devices (1-D dp mesh,
+        capacity % N == 0). Ticks are batch-parallel — zero collectives —
+        and the fused step runs per shard under shard_map; multi-device ≡
+        single-device is a tested property (virtual 8-device mesh).
     """
 
     def __init__(self, model, variables: Params, capacity: int,
-                 dtype=jnp.float32, fused: bool = False):
+                 dtype=jnp.float32, fused: bool = False,
+                 devices: tp.Optional[int] = None):
         if capacity < 2:
             raise ValueError("capacity must be >= 2")
         self.model = model
@@ -126,6 +131,36 @@ class StreamingEngine:
                                      plan)
         else:
             step = functools.partial(model.streaming_step, variables)
+
+        self._mesh = None
+        self._in_sharding = None
+        if devices is not None and devices > 1:
+            # multi-chip serving: slots sharded over a 1-D dp mesh. The
+            # inferred slot axis of each carry leaf IS its shardable axis;
+            # ticks are batch-parallel (zero collectives) and shard_map
+            # keeps the fused Pallas kernel usable (parallel/__init__.py).
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel import BATCH_AXIS, make_mesh
+
+            if capacity % devices:
+                raise ValueError(f"capacity {capacity} must divide evenly "
+                                 f"over {devices} devices")
+            self._mesh = make_mesh(devices)
+            carry_specs = jax.tree.unflatten(self._treedef, [
+                P() if a is None
+                else P(*[BATCH_AXIS if i == a else None
+                         for i in range(leaf.ndim)])
+                for leaf, a in zip(full_leaves, self._axes)])
+            self._carry = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self._mesh, s)),
+                self._carry, carry_specs)
+            self._in_sharding = NamedSharding(self._mesh, P(BATCH_AXIS))
+            step = shard_map(step, mesh=self._mesh,
+                             in_specs=(carry_specs, P(BATCH_AXIS)),
+                             out_specs=(carry_specs, P(BATCH_AXIS)),
+                             check_rep=False)
         # donate the carry: steady-state ticks update state in place
         self._step = jax.jit(step, donate_argnums=(0,))
         self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
@@ -137,17 +172,28 @@ class StreamingEngine:
     # -- slot lifecycle ------------------------------------------------------
 
     def _reset_impl(self, carry, slot: Array):
-        """Zero-state one slot: dynamic_update_slice of a fresh 1-stream
-        carry into each leaf at its inferred slot axis."""
+        """Re-initialize one slot's state in every carry leaf.
+
+        Masked blend rather than dynamic_update_slice: unfold the slot axis
+        to [..., capacity, per_slot, ...] and select the fresh 1-stream
+        state where the capacity index == slot. Elementwise on the sharded
+        axis, so the same code runs single-device and under a dp mesh
+        (the unfold keeps the shard boundary on the capacity axis).
+        """
         leaves = self._treedef.flatten_up_to(carry)
         out = []
         for leaf, fresh, axis in zip(leaves, self._one_leaves, self._axes):
             if axis is None:
                 out.append(leaf)
                 continue
-            start = [jnp.int32(0)] * leaf.ndim
-            start[axis] = slot * fresh.shape[axis]
-            out.append(jax.lax.dynamic_update_slice(leaf, fresh, start))
+            per = fresh.shape[axis]
+            unfolded = leaf.reshape(leaf.shape[:axis] + (self.capacity, per)
+                                    + leaf.shape[axis + 1:])
+            sel_shape = [1] * unfolded.ndim
+            sel_shape[axis] = self.capacity
+            sel = (jnp.arange(self.capacity) == slot).reshape(sel_shape)
+            fresh_b = jnp.expand_dims(fresh, axis)  # [..., 1, per, ...]
+            out.append(jnp.where(sel, fresh_b, unfolded).reshape(leaf.shape))
         return jax.tree.unflatten(self._treedef, out)
 
     def open_stream(self) -> int:
@@ -189,8 +235,10 @@ class StreamingEngine:
                     f"hop for handle {handle} has shape {wav.shape}, "
                     f"expected ({self.hop},)")
             buf[slot] = wav
-        self._carry, out = self._step(self._carry,
-                                      jnp.asarray(buf, self.dtype))
+        dev_buf = jnp.asarray(buf, self.dtype)
+        if self._in_sharding is not None:
+            dev_buf = jax.device_put(dev_buf, self._in_sharding)
+        self._carry, out = self._step(self._carry, dev_buf)
         out = np.asarray(out, np.float32)
         return {h: out[self._slot_of[h]] for h in hops}
 

@@ -180,6 +180,39 @@ def test_capacity_and_handle_errors():
     del h2
 
 
+def test_multi_device_engine_matches_single_device():
+    """Slots sharded over a 4-device mesh (virtual CPU devices) serve the
+    same streams as the single-device engine — joins, silence ticks, leaves
+    and slot reuse included."""
+    assert len(jax.devices()) >= 4  # conftest forces 8 virtual devices
+    model, variables = _build("fastenhancer.default", T_KWARGS)
+    wav1, wav2 = _wav(6, 21), _wav(4, 22)
+
+    def choreography(engine):
+        outs = []
+        h1 = engine.open_stream()
+        h2 = engine.open_stream()
+        for i in range(4):
+            o = engine.tick({h1: wav1[i * HOP:(i + 1) * HOP],
+                             h2: wav2[i * HOP:(i + 1) * HOP]})
+            outs.append(np.stack([o[h1], o[h2]]))
+        engine.close_stream(h2)
+        h3 = engine.open_stream()        # slot reuse mid-run
+        for i in range(2):
+            o = engine.tick({h1: wav1[(4 + i) * HOP:(5 + i) * HOP],
+                             h3: wav2[i * HOP:(i + 1) * HOP]})
+            outs.append(np.stack([o[h1], o[h3]]))
+        return np.concatenate(outs)
+
+    ref = choreography(StreamingEngine(model, variables, capacity=4))
+    got = choreography(StreamingEngine(model, variables, capacity=4,
+                                       devices=4))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        StreamingEngine(model, variables, capacity=5, devices=4)
+
+
 def test_fused_engine_matches_unfused():
     """fused=True (folded variables + the Pallas stack kernel, interpreted
     on CPU) serves the same streams as the XLA step."""
