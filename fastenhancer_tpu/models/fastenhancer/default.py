@@ -247,6 +247,7 @@ class Model:
             n_fft=n_fft, hop_size=hop_size, win_size=win_size,
             win_type=window, normalized=stft_normalized, method=stft_method,
         )
+        self.mask_name = mask
         self.mask_act = {
             None: lambda x: x,
             "sigmoid": jax.nn.sigmoid,
@@ -733,6 +734,50 @@ class Model:
         y, h_t = rnnformer_stack_step(plan, x[0], h, self.rf.num_heads)
         mask = self._decode(params, stats, stats, y[None], x_res, skips, b, t,
                             spec.shape[1], train=False)
+        spec_hat = self.complex_mask_mul(spec, mask)
+        spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
+        pad = jnp.zeros_like(spec_hat[:, :1])
+        spec_hat = jnp.concatenate([spec_hat, pad], axis=1)
+        wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"],
+                                                self.stft_cfg)
+        return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
+
+    def build_frame_plan(self, variables: Params, dtype=None) -> Params:
+        """Pack FOLDED variables for the whole-frame fused kernel
+        (ops/fused_frame.py) — encoder + rf_pre + block stack + rf_post +
+        decoder + ConvT in ONE Pallas program. Raises ValueError outside
+        the kernel's envelope (use build_stack_plan / XLA then)."""
+        from ...ops.fused_frame import plan_frame
+
+        return plan_frame(self, variables, dtype=dtype)
+
+    def streaming_step_fused_frame(
+        self, variables: Params, plan: Params, carry: Params, wav_hop: Array
+    ) -> tp.Tuple[Params, Array]:
+        """streaming_step with the ENTIRE spec->mask model as one Pallas
+        program (ops/fused_frame.py); only the STFT/iSTFT and the complex
+        mask multiply stay XLA. Math matches streaming_step on folded
+        variables (tested) — but measured 1.8x SLOWER than
+        streaming_step_fused (a kept negative result; see the
+        ops/fused_frame.py docstring for the ablation). Use
+        streaming_step_fused for deployment."""
+        from ...ops.fused_frame import fused_frame_step
+
+        spec, stft_c = stft_streaming_step(wav_hop, carry["stft"],
+                                           self.stft_cfg)
+        spec = spec[:, :-1]
+        spec = compress(spec[:, :, None, :], self.input_compression)
+        x = self._strided_reshape(spec[:, :, 0, :])  # [B, F_enc+1, s*2]
+        h = carry["h"]
+        if isinstance(h, (list, tuple)):
+            h = jnp.stack(h)
+        mask8, h_t = fused_frame_step(
+            plan, x, h, num_blocks=self.num_blocks,
+            num_heads=self.rf.num_heads, n_enc=len(self.kernel_size) - 1,
+            enc_ks=tuple(self.kernel_size[1:]), f_enc=self.freq,
+            block_freq=self.block_freq, stride=self.stride,
+            resnet=self.resnet, mask=self.mask_name)
+        mask = mask8.reshape(mask8.shape[0], -1, 2)[:, :, None, :]  # [B,F0,1,2]
         spec_hat = self.complex_mask_mul(spec, mask)
         spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
         pad = jnp.zeros_like(spec_hat[:, :1])

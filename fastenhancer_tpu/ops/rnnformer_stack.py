@@ -159,23 +159,32 @@ def _bdot(a: Array, b: Array, contract: int, b_contract: int) -> Array:
         preferred_element_type=jnp.float32)
 
 
-def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
-                  channels: int, *refs):
-    (x_ref, h_ref,
-     w_xr, w_hr, b_r, w_xz, w_hz, b_z, w_xn, w_hn, b_xn, b_hn,
+def stack_math(x, h_read, h_write, plan_vals, num_blocks: int,
+               num_heads: int, batch: int, freq: int, channels: int):
+    """The K-block RNNFormer stack for one frame, on VMEM-resident values.
+
+    x: [batch*freq, channels] activations; h_read(i) -> [rows, c] carry;
+    h_write(i, h_new) stores the new carry. plan_vals: dict of the plan
+    arrays as VMEM refs (or arrays) — indexed lazily per block, exactly as
+    the original single kernel did. Shared by the stack-only kernel below
+    and the whole-frame kernel (ops/fused_frame.py). Returns x_out
+    [rows, c]."""
+    (w_xr, w_hr, b_r, w_xz, w_hz, b_z, w_xn, w_hn, b_xn, b_hn,
      w_fc, b_fc, w_afc, b_afc, w_q, w_k, w_v, b_q, b_k, b_v, pe, head_mask,
-     gmask_ref, kmask_ref, x_out, h_out) = refs
+     gmask, kmask) = [plan_vals[k] for k in _PLAN_KEYS]
+    head_mask = head_mask[:]
+    gmask = gmask[:]
+    kmask = kmask[:]
     b_, f, c = batch, freq, channels  # freq == pad_freq(model freq)
     rows = b_ * f
-    dt = x_ref.dtype
+    dt = x.dtype
     scale = 1.0 / np.sqrt(c // num_heads)
 
-    x = x_ref[:].reshape(rows, c)
     for i in range(num_blocks):
         # --- time GRU (one step; torch gate order r,z,n) ---
         # VPU math stays f32 (Mosaic rejects bf16 transcendentals; f32 is
         # also what the XLA bf16 path effectively computes for these)
-        h = h_ref[i]
+        h = h_read(i)
         r = jax.nn.sigmoid(_mm(x, w_xr[i]) + _mm(h, w_hr[i])
                            + b_r[i].astype(jnp.float32))
         z = jax.nn.sigmoid(_mm(x, w_xz[i]) + _mm(h, w_hz[i])
@@ -183,7 +192,7 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
         n = jnp.tanh(_mm(x, w_xn[i]) + b_xn[i].astype(jnp.float32)
                      + r * (_mm(h, w_hn[i]) + b_hn[i].astype(jnp.float32)))
         h_new = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(dt)
-        h_out[i] = h_new
+        h_write(i, h_new)
         # --- post-GRU linear (BN folded) + residual ---
         x = (_mm(h_new, w_fc[i]) + b_fc[i]).astype(dt) + x
         # --- positional embedding (zeros for blocks without one) ---
@@ -192,7 +201,7 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
         q = (_mm(x, w_q[i]) + b_q[i]).astype(dt).reshape(b_, f, c)
         k = (_mm(x, w_k[i]) + b_k[i]).astype(dt).reshape(b_, f, c)
         v = (_mm(x, w_v[i]) + b_v[i]).astype(dt).reshape(b_, f, c)
-        m = head_mask[:]  # [H, C]
+        m = head_mask  # [H, C]
         # lane-folded heads: K/V expand to [B, H*F, C] with per-head channel
         # masks (nn/attention.py's masked-lane trick) so ONE batched dot
         # yields every head's scores side by side in lanes — Mosaic lowers
@@ -206,14 +215,14 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
         vblk = jnp.concatenate(
             [v * m[hh][None, None, :] for hh in range(num_heads)], axis=1)
         logits = (_bdot(q, kblk, 2, 2) * scale
-                  + kmask_ref[:][0][None, None, :])      # [B, F, H*F] f32
+                  + kmask[0][None, None, :])             # [B, F, H*F] f32
         # grouped softmax over each head's F-lane block. Stabilize with the
         # global row max (>= every group max; softmax is invariant to the
         # shift) and recover per-group denominators with two gmask matmuls
         # — replaces 2*H masked-reduction loops per block, which both
         # shrinks the unrolled Mosaic program (the L-shape compile went
         # pathological on it) and rides the MXU.
-        gm = gmask_ref[:].astype(jnp.float32)            # [H, H*F]
+        gm = gmask.astype(jnp.float32)                   # [H, H*F]
         mx = jnp.max(logits, axis=-1, keepdims=True)     # [B, F, 1]
         p = jnp.exp(logits - mx)                         # padded keys -> 0
         den_g = jax.lax.dot_general(                     # [B, F, H]
@@ -226,7 +235,17 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
         attn = _bdot(probs, vblk, 2, 1).astype(dt)       # [B, F, C]
         # --- attention linear (BN folded) + residual ---
         x = (_mm(attn.reshape(rows, c), w_afc[i]) + b_afc[i]).astype(dt) + x
-    x_out[:] = x.reshape(b_, f, c)
+    return x
+
+
+def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
+                  channels: int, *refs):
+    (x_ref, h_ref, *plan_refs, x_out, h_out) = refs
+    plan_vals = dict(zip(_PLAN_KEYS, plan_refs))
+    x = x_ref[:].reshape(batch * freq, channels)
+    x = stack_math(x, lambda i: h_ref[i], lambda i, h: h_out.__setitem__(i, h),
+                   plan_vals, num_blocks, num_heads, batch, freq, channels)
+    x_out[:] = x.reshape(batch, freq, channels)
 
 
 # ---------------------------------------------------------------------------

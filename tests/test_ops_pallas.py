@@ -245,3 +245,92 @@ def test_rnnformer_stack_with_attn_bias():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_out[0]), np.asarray(h_ref),
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Whole-frame fused kernel (ops/fused_frame.py) — a kept negative result:
+# measured slower than fused-stack + XLA on TPU (see its docstring), kept
+# exact. These tests pin the exactness and the envelope gating.
+# ---------------------------------------------------------------------------
+
+def _frame_model(**over):
+    from fastenhancer_tpu.models.fastenhancer.default import Model
+
+    kw = dict(
+        channels=12, kernel_size=[8, 3, 3], stride=4,
+        rnnformer_kwargs=dict(num_blocks=2, channels=8, freq=8, num_heads=2,
+                              positional_embedding="train"),
+        n_fft=128, hop_size=64, win_size=128, window="hann",
+        weight_norm=True, pre_post_init="linear_fixed", activation="SiLU",
+    )
+    kw.update(over)
+    return Model(**kw)
+
+
+def _frame_parity(model, hops=5, batch=4, atol=2e-5):
+    folded = model.fold(model.init(jax.random.PRNGKey(3)))
+    plan = model.build_frame_plan(folded)
+    rng = np.random.default_rng(3)
+    hop = model.stft_cfg.hop_size
+    carry_a = model.init_streaming_carry(batch)
+    carry_b = model.init_streaming_carry(batch)
+    for _ in range(hops):
+        w = jnp.asarray(rng.uniform(-0.3, 0.3, (batch, hop)), jnp.float32)
+        carry_a, ya = model.streaming_step(folded, carry_a, w)
+        carry_b, yb = model.streaming_step_fused_frame(folded, plan,
+                                                       carry_b, w)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=atol)
+
+
+def test_fused_frame_matches_streaming_step():
+    _frame_parity(_frame_model())
+
+
+def test_fused_frame_sigmoid_mask_and_resnet():
+    _frame_parity(_frame_model(mask="sigmoid", resnet=True))
+
+
+def test_fused_frame_attn_bias_three_blocks():
+    _frame_parity(_frame_model(
+        rnnformer_kwargs=dict(num_blocks=3, channels=8, freq=8, num_heads=2,
+                              positional_embedding="train", attn_bias=True)))
+
+
+def test_fused_frame_batch_tiling():
+    from fastenhancer_tpu.ops.fused_frame import fused_frame_step
+
+    model = _frame_model()
+    folded = model.fold(model.init(jax.random.PRNGKey(4)))
+    plan = model.build_frame_plan(folded)
+    rng = np.random.default_rng(4)
+    b = 4
+    x = jnp.asarray(rng.uniform(-1, 1, (b, model.freq + 1, model.stride * 2)),
+                    jnp.float32)
+    h = jnp.zeros((model.num_blocks, b * model.block_freq,
+                   model.block_channels), jnp.float32)
+    kw = dict(num_blocks=model.num_blocks, num_heads=model.rf.num_heads,
+              n_enc=len(model.kernel_size) - 1,
+              enc_ks=tuple(model.kernel_size[1:]), f_enc=model.freq,
+              block_freq=model.block_freq, stride=model.stride,
+              resnet=model.resnet, mask=model.mask_name, interpret=True)
+    m_full, h_full = fused_frame_step(plan, x, h, batch_tile=b, **kw)
+    m_tile, h_tile = fused_frame_step(plan, x, h, batch_tile=1, **kw)
+    np.testing.assert_allclose(np.asarray(m_tile), np.asarray(m_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_tile), np.asarray(h_full),
+                               atol=1e-6)
+
+
+def test_fused_frame_envelope_rejections():
+    import pytest
+
+    model = _frame_model()
+    variables = model.init(jax.random.PRNGKey(5))
+    with pytest.raises(ValueError):   # unfolded
+        model.build_frame_plan(variables)
+    relu = _frame_model(activation="ReLU")
+    with pytest.raises(ValueError):
+        relu.build_frame_plan(relu.fold(relu.init(jax.random.PRNGKey(5))))
+    k4 = _frame_model(kernel_size=[4, 3])
+    with pytest.raises(ValueError):
+        k4.build_frame_plan(k4.fold(k4.init(jax.random.PRNGKey(5))))
