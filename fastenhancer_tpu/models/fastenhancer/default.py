@@ -674,6 +674,27 @@ class Model:
     def _block_carry_init(self, batch: int, dtype) -> Array:
         return jnp.zeros((batch * self.block_freq, self.block_channels), dtype)
 
+    def _stream_front(self, carry: Params,
+                      wav_hop: Array) -> tp.Tuple[Array, Array]:
+        """Shared per-hop front end: STFT step + last-bin drop + compress.
+        -> (spec [B, F, 1, 2], new stft cache)."""
+        spec, stft_c = stft_streaming_step(wav_hop, carry["stft"],
+                                           self.stft_cfg)
+        spec = spec[:, :-1]  # drop last freq bin
+        return compress(spec[:, :, None, :], self.input_compression), stft_c
+
+    def _stream_back(self, spec: Array, mask: Array, carry: Params,
+                     stft_c: Array, h_t) -> tp.Tuple[Params, Array]:
+        """Shared per-hop back end: mask multiply + uncompress + last-bin
+        re-append + iSTFT step."""
+        spec_hat = self.complex_mask_mul(spec, mask)
+        spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
+        pad = jnp.zeros_like(spec_hat[:, :1])
+        spec_hat = jnp.concatenate([spec_hat, pad], axis=1)
+        wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"],
+                                                self.stft_cfg)
+        return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
+
     def streaming_step(
         self, variables: Params, carry: Params, wav_hop: Array
     ) -> tp.Tuple[Params, Array]:
@@ -682,17 +703,10 @@ class Model:
         Output is delayed n_fft - hop samples (same contract as the reference
         streaming graph, docs/docs/onnx.md)."""
         params, stats = variables["params"], variables["stats"]
-        spec, stft_c = stft_streaming_step(wav_hop, carry["stft"], self.stft_cfg)
-        spec = spec[:, :-1]  # drop last freq bin
-        spec = compress(spec[:, :, None, :], self.input_compression)  # [B,F,1,2]
+        spec, stft_c = self._stream_front(carry, wav_hop)
         mask, h_t, _ = self.model_forward(params, stats, spec, h0=carry["h"],
                                           train=False)
-        spec_hat = self.complex_mask_mul(spec, mask)
-        spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
-        pad = jnp.zeros_like(spec_hat[:, :1])
-        spec_hat = jnp.concatenate([spec_hat, pad], axis=1)  # re-append last bin
-        wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"], self.stft_cfg)
-        return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
+        return self._stream_back(spec, mask, carry, stft_c, h_t)
 
     # -- fused-stack streaming (Pallas) -----------------------------------------
 
@@ -724,9 +738,7 @@ class Model:
         from ...ops.rnnformer_stack import rnnformer_stack_step
 
         params, stats = variables["params"], variables["stats"]
-        spec, stft_c = stft_streaming_step(wav_hop, carry["stft"], self.stft_cfg)
-        spec = spec[:, :-1]
-        spec = compress(spec[:, :, None, :], self.input_compression)
+        spec, stft_c = self._stream_front(carry, wav_hop)
         x, x_res, skips, b, t, _ = self._encode(params, stats, spec, train=False)
         h = carry["h"]                     # stacked [NB, B*F', C]
         if isinstance(h, (list, tuple)):
@@ -734,13 +746,7 @@ class Model:
         y, h_t = rnnformer_stack_step(plan, x[0], h, self.rf.num_heads)
         mask = self._decode(params, stats, stats, y[None], x_res, skips, b, t,
                             spec.shape[1], train=False)
-        spec_hat = self.complex_mask_mul(spec, mask)
-        spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
-        pad = jnp.zeros_like(spec_hat[:, :1])
-        spec_hat = jnp.concatenate([spec_hat, pad], axis=1)
-        wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"],
-                                                self.stft_cfg)
-        return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
+        return self._stream_back(spec, mask, carry, stft_c, h_t)
 
     def build_frame_plan(self, variables: Params, dtype=None) -> Params:
         """Pack FOLDED variables for the whole-frame fused kernel
@@ -763,10 +769,7 @@ class Model:
         streaming_step_fused for deployment."""
         from ...ops.fused_frame import fused_frame_step
 
-        spec, stft_c = stft_streaming_step(wav_hop, carry["stft"],
-                                           self.stft_cfg)
-        spec = spec[:, :-1]
-        spec = compress(spec[:, :, None, :], self.input_compression)
+        spec, stft_c = self._stream_front(carry, wav_hop)
         x = self._strided_reshape(spec[:, :, 0, :])  # [B, F_enc+1, s*2]
         h = carry["h"]
         if isinstance(h, (list, tuple)):
@@ -778,13 +781,7 @@ class Model:
             block_freq=self.block_freq, stride=self.stride,
             resnet=self.resnet, mask=self.mask_name)
         mask = mask8.reshape(mask8.shape[0], -1, 2)[:, :, None, :]  # [B,F0,1,2]
-        spec_hat = self.complex_mask_mul(spec, mask)
-        spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
-        pad = jnp.zeros_like(spec_hat[:, :1])
-        spec_hat = jnp.concatenate([spec_hat, pad], axis=1)
-        wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"],
-                                                self.stft_cfg)
-        return {"stft": stft_c, "istft": istft_c, "h": h_t}, wav_out
+        return self._stream_back(spec, mask, carry, stft_c, h_t)
 
     def streaming_chunk(
         self, variables: Params, carry: Params, wav_chunk: Array

@@ -119,6 +119,15 @@ class StreamingEngine:
         self._variables = variables
         self._carry = model.init_streaming_carry(capacity, dtype)
         one = model.init_streaming_carry(1, dtype)
+        if fused:
+            # the fused step takes/returns the block carries STACKED
+            # ([NB, B*F, C]) where init_streaming_carry provides a list;
+            # canonicalize BEFORE inferring treedef/slot axes so the carry
+            # structure is stable across ticks (shard_map out_specs and
+            # _reset_impl both depend on it)
+            for c in (self._carry, one):
+                if isinstance(c.get("h"), (list, tuple)):
+                    c["h"] = jnp.stack(c["h"])
         full_leaves, treedef = jax.tree.flatten(self._carry)
         one_leaves = treedef.flatten_up_to(one)
         self._axes = _slot_axes(one_leaves, full_leaves, capacity)
@@ -131,6 +140,16 @@ class StreamingEngine:
                                      plan)
         else:
             step = functools.partial(model.streaming_step, variables)
+        # the step's output carry structure must equal its input's —
+        # everything downstream (donation, shard_map specs, slot reset)
+        # assumes a stable carry pytree
+        out_struct = jax.eval_shape(
+            step, self._carry,
+            jax.ShapeDtypeStruct((capacity, self.hop), dtype))[0]
+        if jax.tree.structure(out_struct) != treedef:
+            raise ValueError(
+                "streaming step changes its carry pytree structure; "
+                "StreamingEngine requires a structure-stable carry")
 
         self._mesh = None
         self._in_sharding = None
@@ -144,6 +163,10 @@ class StreamingEngine:
 
             from .parallel import BATCH_AXIS, make_mesh
 
+            if devices > len(jax.devices()):
+                raise ValueError(
+                    f"devices={devices} but only {len(jax.devices())} "
+                    f"devices are available")
             if capacity % devices:
                 raise ValueError(f"capacity {capacity} must divide evenly "
                                  f"over {devices} devices")
@@ -174,11 +197,11 @@ class StreamingEngine:
     def _reset_impl(self, carry, slot: Array):
         """Re-initialize one slot's state in every carry leaf.
 
-        Masked blend rather than dynamic_update_slice: unfold the slot axis
-        to [..., capacity, per_slot, ...] and select the fresh 1-stream
-        state where the capacity index == slot. Elementwise on the sharded
-        axis, so the same code runs single-device and under a dp mesh
-        (the unfold keeps the shard boundary on the capacity axis).
+        Single-device: `dynamic_update_slice` writes just that slot's rows.
+        Sharded: a masked blend on the unfolded slot axis — elementwise on
+        the sharded axis, so no resharding (the unfold keeps the shard
+        boundary on the capacity axis); joins are rare, the full-carry
+        select is acceptable there.
         """
         leaves = self._treedef.flatten_up_to(carry)
         out = []
@@ -187,6 +210,11 @@ class StreamingEngine:
                 out.append(leaf)
                 continue
             per = fresh.shape[axis]
+            if self._mesh is None:
+                start = [jnp.int32(0)] * leaf.ndim
+                start[axis] = slot * per
+                out.append(jax.lax.dynamic_update_slice(leaf, fresh, start))
+                continue
             unfolded = leaf.reshape(leaf.shape[:axis] + (self.capacity, per)
                                     + leaf.shape[axis + 1:])
             sel_shape = [1] * unfolded.ndim

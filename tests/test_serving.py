@@ -213,6 +213,39 @@ def test_multi_device_engine_matches_single_device():
         StreamingEngine(model, variables, capacity=5, devices=4)
 
 
+def test_fused_engine_join_after_tick_and_devices():
+    """Regression: the fused step returns a STACKED block carry where
+    init_streaming_carry provides a list — the engine must canonicalize
+    before inferring the carry structure, or (a) opening a stream after the
+    first tick and (b) fused + devices>1 both break on the structure
+    mismatch."""
+    model, variables = _build("fastenhancer.default", T_KWARGS)
+    folded = model.fold(variables)
+    wav = _wav(4, 31)
+
+    # (a) open a second stream after ticking a fused engine
+    eng = StreamingEngine(model, folded, capacity=2, fused=True)
+    h1 = eng.open_stream()
+    eng.tick({h1: wav[:HOP]})
+    h2 = eng.open_stream()            # must not raise
+    out = eng.tick({h1: wav[HOP:2 * HOP], h2: wav[:HOP]})
+    assert np.isfinite(out[h1]).all() and np.isfinite(out[h2]).all()
+
+    # (b) fused + devices: same choreography as single-device fused
+    def run(engine):
+        hh = engine.open_stream()
+        return engine.run_stream(hh, wav)
+
+    ref = run(StreamingEngine(model, folded, capacity=4, fused=True))
+    got = run(StreamingEngine(model, folded, capacity=4, fused=True,
+                              devices=4))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        StreamingEngine(model, folded, capacity=len(jax.devices()) * 4,
+                        devices=len(jax.devices()) * 2)
+
+
 def test_fused_engine_matches_unfused():
     """fused=True (folded variables + the Pallas stack kernel, interpreted
     on CPU) serves the same streams as the XLA step."""
