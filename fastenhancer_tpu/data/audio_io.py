@@ -16,7 +16,8 @@ import numpy as np
 
 
 def read_wav(path: str, sr: tp.Optional[int] = None,
-             mono: bool = True) -> tp.Tuple[np.ndarray, int]:
+             mono: bool = True, offset: float = 0.0,
+             duration: tp.Optional[float] = None) -> tp.Tuple[np.ndarray, int]:
     """Read a wav file -> (float32 [-1,1], sample_rate).
 
     mono=True (default) averages multi-channel audio to mono
@@ -24,16 +25,22 @@ def read_wav(path: str, sr: tp.Optional[int] = None,
     channels and returns [C, T] (the noise shard builders chunk per
     channel, reference: scripts/data/shard_noise.py:85-101). If `sr` is
     given and differs from the file rate, resample (along time).
+
+    offset/duration (seconds, librosa.load semantics) read only that
+    window of the file — the reader seeks inside the data chunk instead
+    of decoding the whole file, so drawing short crops from hour-long
+    recordings stays O(window).
     """
     from .. import native
 
-    if mono and native.available():  # native core decodes straight to mono
-        x, file_sr = native.read_wav_file(path)
+    windowed = offset > 0.0 or duration is not None
+    if mono and not windowed and native.available():
+        x, file_sr = native.read_wav_file(path)  # native decodes to mono
     else:
         with open(path, "rb") as fh:
             header = fh.read(12)
             if header[:4] == b"RIFF" and header[8:12] == b"WAVE":
-                x, file_sr = _read_riff(fh)
+                x, file_sr = _read_riff(fh, offset=offset, duration=duration)
             else:
                 raise ValueError(f"not a RIFF/WAVE file: {path}")
     if x.ndim == 2:
@@ -44,10 +51,39 @@ def read_wav(path: str, sr: tp.Optional[int] = None,
     return x, file_sr
 
 
-def _read_riff(fh) -> tp.Tuple[np.ndarray, int]:
-    """Parse fmt/data chunks; supports PCM (1), IEEE float (3), extensible."""
+def wav_info(path: str) -> tp.Tuple[int, int]:
+    """(n_frames, sample_rate) from the headers alone — no sample decode."""
+    with open(path, "rb") as fh:
+        header = fh.read(12)
+        if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        fmt = None
+        while True:
+            head = fh.read(8)
+            if len(head) < 8:
+                break
+            cid, size = struct.unpack("<4sI", head)
+            if cid == b"fmt ":
+                fmt = fh.read(size)
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError("data chunk precedes fmt")
+                _, n_ch, sr_, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+                frame_bytes = max(n_ch, 1) * max(bits // 8, 1)
+                return size // frame_bytes, sr_
+            else:
+                fh.seek(size + (size & 1), 1)
+    raise ValueError("missing fmt/data chunk")
+
+
+def _read_riff(fh, offset: float = 0.0,
+               duration: tp.Optional[float] = None) -> tp.Tuple[np.ndarray, int]:
+    """Parse fmt/data chunks; supports PCM (1), IEEE float (3), extensible.
+    offset/duration (seconds) restrict the read to a frame window via a
+    seek into the data chunk."""
     fmt = None
     data = None
+    window_applied = False
     while True:
         head = fh.read(8)
         if len(head) < 8:
@@ -56,7 +92,19 @@ def _read_riff(fh) -> tp.Tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt = fh.read(size)
         elif cid == b"data":
-            data = fh.read(size)
+            if fmt is not None and (offset > 0.0 or duration is not None):
+                window_applied = True
+                _, n_ch_, sr_, _, _, bits_ = struct.unpack("<HHIIHH",
+                                                           fmt[:16])
+                frame_bytes = max(n_ch_, 1) * max(bits_ // 8, 1)
+                n_frames = size // frame_bytes
+                skip = min(int(offset * sr_), n_frames)
+                take = n_frames - skip if duration is None else min(
+                    int(duration * sr_), n_frames - skip)
+                fh.seek(skip * frame_bytes, 1)
+                data = fh.read(take * frame_bytes)
+            else:
+                data = fh.read(size)
         else:
             fh.seek(size + (size & 1), 1)
         if fmt is not None and data is not None:
@@ -89,23 +137,38 @@ def _read_riff(fh) -> tp.Tuple[np.ndarray, int]:
         raise ValueError(f"unsupported wav format code: {audio_fmt}")
     if n_ch > 1:
         x = x.reshape(-1, n_ch)
+    if (offset > 0.0 or duration is not None) and not window_applied:
+        # degenerate chunk order (data before fmt): window post-decode
+        skip = int(offset * sr)
+        x = x[skip:] if duration is None else \
+            x[skip: skip + int(duration * sr)]
     return x, sr
 
 
 def read_audio(path: str, sr: tp.Optional[int] = None,
-               mono: bool = True) -> tp.Tuple[np.ndarray, int]:
+               mono: bool = True, offset: float = 0.0,
+               duration: tp.Optional[float] = None) -> tp.Tuple[np.ndarray, int]:
     """read_wav for .wav paths; anything else (flac/mp3/...) decodes via
     soundfile when installed (the reference reads every format through
-    librosa; HiFi-TTS ships flac, reference: scripts/data/shard_hifitts1.py)."""
+    librosa; HiFi-TTS ships flac, reference: scripts/data/shard_hifitts1.py).
+    offset/duration restrict the read window (seconds, librosa semantics)."""
     if path.lower().endswith(".wav"):
-        return read_wav(path, sr=sr, mono=mono)
+        return read_wav(path, sr=sr, mono=mono, offset=offset,
+                        duration=duration)
     try:
         import soundfile as sf
     except ImportError as e:
         raise ImportError(
             f"decoding {path.rsplit('.', 1)[-1]} files needs the soundfile "
             f"package (not in this environment)") from e
-    x, file_sr = sf.read(path, dtype="float32")
+    if offset > 0.0 or duration is not None:
+        info = sf.info(path)
+        start = int(offset * info.samplerate)
+        stop = None if duration is None else \
+            start + int(duration * info.samplerate)
+        x, file_sr = sf.read(path, dtype="float32", start=start, stop=stop)
+    else:
+        x, file_sr = sf.read(path, dtype="float32")
     if x.ndim == 2:
         x = x.mean(axis=1) if mono else np.ascontiguousarray(x.T)
     if sr is not None and sr != file_sr:

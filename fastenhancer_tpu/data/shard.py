@@ -371,7 +371,11 @@ class ShardDataset:
                 ShardSource(d["shard_dir"], d.get("weight", 1.0),
                             fields=fe_fields)
                 for d in sec["inputs"]["farend_echo"]]), buf)
-        self.segment_size: tp.Optional[int] = sec.get("segment_size")
+        # segment mode defaults to 48000 samples like the reference
+        # (reference utils/data/shard_segment.py:185,541) — the shard
+        # recipes' data.train omits the key and relies on this default
+        self.segment_size: tp.Optional[int] = sec.get(
+            "segment_size", 48_000 if segment else None)
         self.ids_to_filter = set(sec.get("ids_to_filter") or [])
         # silence gap between concatenated cuts in segment mode
         # (reference shard_segment.py:169-213, silence_length seconds)

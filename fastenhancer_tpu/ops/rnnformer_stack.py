@@ -231,7 +231,14 @@ def stack_math(x, h_read, h_write, plan_vals, num_blocks: int,
         den = jax.lax.dot_general(                       # [B, F, H*F]
             den_g, gm, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        probs = (p / den).astype(dt)
+        # global-max stabilization can underflow an entire group when one
+        # head's logits sit >~100 nats below the row max (exp(x-mx) -> 0
+        # for every lane of that group): clamp the denominator so the
+        # division yields 0 (that head contributes nothing) instead of
+        # 0/0 = NaN poisoning the carry. 1e-30 stays normal-range f32
+        # (XLA CPU flushes subnormals). Outside that pathological regime
+        # the clamp is inert and parity with the XLA path holds (~1e-7).
+        probs = (p / jnp.maximum(den, 1e-30)).astype(dt)
         attn = _bdot(probs, vblk, 2, 1).astype(dt)       # [B, F, C]
         # --- attention linear (BN folded) + residual ---
         x = (_mm(attn.reshape(rows, c), w_afc[i]) + b_afc[i]).astype(dt) + x

@@ -52,10 +52,22 @@ def main():
     failed = []
     t0 = time.time()
     if args.jobs > 1:
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+        from concurrent.futures import wait as fwait
 
         with ThreadPoolExecutor(args.jobs) as ex:
-            results = list(ex.map(lambda f: run_file(f, extra), files))
+            pending = {ex.submit(run_file, f, extra) for f in files}
+            results = []
+            while pending:
+                done, pending = fwait(pending, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    results.append(fut.result())
+                # honor -x in parallel mode too: stop scheduling new files
+                # once any file has failed (in-flight files still finish)
+                if args.failfast and any(r[1] != 0 for r in results):
+                    still_running = [f for f in pending if not f.cancel()]
+                    results.extend(f.result() for f in still_running)
+                    pending = set()
     else:
         results = []
         for f in files:
@@ -71,7 +83,13 @@ def main():
             _report(res, failed)
 
     n = len(files)
-    print(f"\n{n - len(failed)}/{n} files green in {time.time() - t0:.0f}s")
+    n_run = len(results) if results is not None else None
+    if n_run is not None and n_run < n:   # failfast cut the parallel run
+        print(f"\n{n_run - len(failed)}/{n_run} run files green "
+              f"({n - n_run} skipped by -x) in {time.time() - t0:.0f}s")
+    else:
+        print(f"\n{n - len(failed)}/{n} files green "
+              f"in {time.time() - t0:.0f}s")
     if failed:
         print("failed:", " ".join(failed))
         sys.exit(1)

@@ -179,12 +179,22 @@ class DirectoriesDataset:
 
     def load_wav(self, directories: Directories,
                  duration_to_load: float) -> tp.Tuple[np.ndarray, str]:
-        from fastenhancer_tpu.data.audio_io import read_audio
+        from fastenhancer_tpu.data.audio_io import read_audio, wav_info
 
         for _ in range(10):
             filepath = directories.choice()
             try:
-                wav, _ = read_audio(filepath, sr=self.fs)
+                # decode only the crop window: with hour-long noise scenes
+                # a full decode per draw makes test-set synthesis
+                # quadratic-ish in file length (headers give the duration)
+                offset_sec = 0.0
+                if filepath.lower().endswith(".wav"):
+                    frames, fsr = wav_info(filepath)
+                    spare = frames / fsr - duration_to_load
+                    if spare > 0:
+                        offset_sec = random.uniform(0.0, spare)
+                wav, _ = read_audio(filepath, sr=self.fs, offset=offset_sec,
+                                    duration=duration_to_load)
                 want = int(duration_to_load * self.fs)
                 if len(wav) > want:
                     offset = random.randrange(len(wav) - want + 1)

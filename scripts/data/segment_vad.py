@@ -109,14 +109,13 @@ def write_wav_any(path: str, x: np.ndarray, sr: int,
                           .astype("<i2").tobytes())
         return
     assert subtype == "float32", subtype
-    data = x.astype("<f4").tobytes()
+    # one float32 RIFF encoder for the whole data layer (shar_writer owns
+    # the format; a second hand-rolled copy here once diverged on the
+    # RIFF chunk size)
+    from .shar_writer import wav_bytes
+
     with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", 4 + 26 + 12 + len(data))
-                + b"WAVE")
-        f.write(b"fmt " + struct.pack("<IHHIIHH", 18, 3, 1, sr, sr * 4, 4,
-                                      32) + b"\x00\x00")
-        f.write(b"fact" + struct.pack("<II", 4, len(x)))
-        f.write(b"data" + struct.pack("<I", len(data)) + data)
+        f.write(wav_bytes(x, sr, float32=True))
 
 
 def _segment_one(job, src_dir, out_dir, preserve_dirs, subtype, kw):

@@ -38,7 +38,8 @@ def wav_bytes(x: np.ndarray, sr: int, float32: bool = False) -> bytes:
         import struct
 
         data = np.asarray(x, "<f4").tobytes()
-        return (b"RIFF" + struct.pack("<I", 4 + 26 + 12 + len(data))
+        # RIFF size = "WAVE"(4) + fmt(8+18) + fact(8+4) + data hdr(8) + data
+        return (b"RIFF" + struct.pack("<I", 4 + 26 + 12 + 8 + len(data))
                 + b"WAVE"
                 + b"fmt " + struct.pack("<IHHIIHH", 18, 3, 1, sr, sr * 4,
                                         4, 32) + b"\x00\x00"

@@ -35,12 +35,23 @@ import numpy as np
 _STATE: dict = {}
 
 
+_WORKER_COUNTER = None  # mp.Value set by main(); fork-inherited by workers
+
+
 def _init_worker(config_path: str, seed: int):
-    """Build the per-worker samplers (reference :67-110). Workers re-seed
-    from the pid like the reference; --seed offsets it for reproducible
-    single-job builds."""
-    random.seed(seed + os.getpid())
-    np.random.seed((seed + os.getpid()) % 2**32)
+    """Build the per-worker samplers (reference :67-110). The reference
+    seeds workers from the pid, which makes the 'frozen' set different on
+    every invocation; here each worker takes a deterministic index from a
+    shared counter so `--seed S` regenerates the exact same shards
+    (single- or multi-job) — a documented improvement."""
+    if _WORKER_COUNTER is None:
+        widx = 0
+    else:
+        with _WORKER_COUNTER.get_lock():
+            widx = _WORKER_COUNTER.value
+            _WORKER_COUNTER.value += 1
+    random.seed(seed + 1000 * widx)
+    np.random.seed((seed + 1000 * widx) % 2**32)
 
     from fastenhancer_tpu.utils.hparams import get_hparams
 
@@ -138,7 +149,8 @@ def main(argv=None):
     ap.add_argument("-f", "--force", action="store_true")
     ap.add_argument("-j", "--num-jobs", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0,
-                    help="offset added to the per-worker pid seed")
+                    help="base seed; the same seed regenerates the same "
+                         "shards (workers derive deterministic offsets)")
     ap.add_argument("--shard-size", type=int, default=1000)
     ap.add_argument("--debug", action="store_true",
                     help="process only 100 files with one worker")
@@ -182,6 +194,10 @@ def main(argv=None):
     n_done = 0
     with ShardWriter(root, args.shard_size, fields=fields) as writer:
         if args.num_jobs > 1:
+            import multiprocessing
+
+            global _WORKER_COUNTER
+            _WORKER_COUNTER = multiprocessing.Value("i", 0)
             pool = ProcessPoolExecutor(
                 args.num_jobs, initializer=_init_worker,
                 initargs=(args.config, args.seed))

@@ -45,6 +45,28 @@ def test_wav_roundtrip(tmp_path):
     assert abs(wav_duration(path) - 1.0) < 1e-6
 
 
+def test_wav_windowed_read(tmp_path):
+    """offset/duration (librosa semantics) decode only the window; must
+    equal the corresponding slice of a full read, and wav_info must report
+    frames/rate from the headers alone."""
+    from fastenhancer_tpu.data.audio_io import wav_info
+
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-0.5, 0.5, SR * 3)).astype(np.float32)
+    path = str(tmp_path / "w.wav")
+    write_wav(path, x, SR)
+    frames, sr = wav_info(path)
+    assert (frames, sr) == (SR * 3, SR)
+    full, _ = read_wav(path)
+    win, _ = read_wav(path, offset=0.5, duration=1.0)
+    np.testing.assert_array_equal(win, full[SR // 2: SR // 2 + SR])
+    tail, _ = read_wav(path, offset=2.5)
+    np.testing.assert_array_equal(tail, full[SR * 5 // 2:])
+    # windowed + resampled
+    win16, sr2 = read_wav(path, sr=SR // 2, offset=1.0, duration=1.0)
+    assert sr2 == SR // 2 and len(win16) == SR // 2
+
+
 def _hp(corpus, segment_size):
     return HParams(**{
         "sampling_rate": SR,

@@ -334,3 +334,33 @@ def test_fused_frame_envelope_rejections():
     k4 = _frame_model(kernel_size=[4, 3])
     with pytest.raises(ValueError):
         k4.build_frame_plan(k4.fold(k4.init(jax.random.PRNGKey(5))))
+
+
+def test_stack_softmax_underflow_yields_zero_not_nan():
+    """Global-row-max softmax stabilization: when one head's logits sit
+    ~200 nats below the row max (whole group underflows in exp), the
+    denominator clamp must produce a zero head contribution, never
+    0/0 = NaN poisoning the carry."""
+    from fastenhancer_tpu.ops.rnnformer_stack import (plan_stack,
+                                                      rnnformer_stack_step)
+
+    model = _tiny_fastenhancer()
+    folded = model.fold(model.init(jax.random.PRNGKey(7)))
+    blocks = folded["params"]["rf_blocks"]
+    # blow up head 0's query rows so its logits dominate the row max and
+    # head 1's group underflows entirely after the global-max shift
+    c = np.asarray(blocks[0]["attn"]["qkv"]["weight"]).shape[1]
+    d = c // 2
+    w = np.asarray(blocks[0]["attn"]["qkv"]["weight"]).copy()
+    w[:d] *= 4000.0          # q rows of head 0 (per-head [q|k|v] layout)
+    blocks[0]["attn"]["qkv"]["weight"] = jnp.asarray(w)
+    plan = plan_stack(blocks, model.block_freq, model.rf.num_heads)
+    rng = np.random.default_rng(7)
+    b = 2
+    x = jnp.asarray(rng.uniform(1.0, 2.0, (b, model.block_freq, c)),
+                    jnp.float32)
+    h = jnp.zeros((len(blocks), b * model.block_freq, c), jnp.float32)
+    y, h_t = rnnformer_stack_step(plan, x, h, model.rf.num_heads,
+                                  interpret=True)
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(h_t)).all()

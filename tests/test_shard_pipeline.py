@@ -564,3 +564,12 @@ def test_shard_producer_propagates_errors(tmp_path):
     with pytest.raises(Exception):
         for _ in ds:
             pass
+
+
+def test_segment_mode_defaults_to_48000(shards):
+    """data.train without segment_size must behave like the reference's
+    ShardSegment default of 48000 samples (reference
+    utils/data/shard_segment.py:185,541) — the shard recipes rely on it."""
+    hp = _hp(shards, segment=False)   # no segment_size key anywhere
+    ds = ShardDataset(hp, mode="train", segment=True)
+    assert ds.segment_size == 48_000

@@ -244,3 +244,27 @@ def test_shard_test_farend(tmp_path):
     for c in src.iter_cuts(seed=0):
         assert math.isinf(c.sup["ser"])
         assert c.sup["return_farend"] is True
+
+
+def test_float32_wav_riff_size_is_spec_valid(tmp_path):
+    """The hand-rolled float32 encoder must write a RIFF size covering the
+    data chunk header: file size == 8 + declared RIFF size (strict parsers
+    bound their reads by it)."""
+    import struct
+
+    from scripts.data.shar_writer import wav_bytes
+    from scripts.data.segment_vad import write_wav_any
+    from fastenhancer_tpu.data.audio_io import read_wav
+
+    x = np.linspace(-0.9, 0.9, 1001).astype(np.float32)
+    blob = wav_bytes(x, SR, float32=True)
+    riff_size = struct.unpack("<I", blob[4:8])[0]
+    assert len(blob) == 8 + riff_size, (len(blob), riff_size)
+
+    path = str(tmp_path / "f32.wav")
+    write_wav_any(path, x, SR, subtype="float32")
+    raw = open(path, "rb").read()
+    assert raw == blob  # one shared encoder, byte-identical output
+    y, sr = read_wav(path)
+    assert sr == SR
+    np.testing.assert_allclose(y, x, atol=0)
