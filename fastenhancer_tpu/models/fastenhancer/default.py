@@ -23,6 +23,7 @@ scaled transposed-conv upsample -> complex ratio mask.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import typing as tp
 
@@ -271,6 +272,10 @@ class Model:
         self.final_scale_init: str = "one"
         self.tname_prepost = "rf"
         self.tname_block = "rf_block"
+        # gradient rematerialisation (train.remat): per-unit/per-block
+        # jax.checkpoint so activation memory is O(1 block) instead of
+        # O(depth) — set by the training wrapper, ignored outside training
+        self.remat = False
         assert kernel_size[0] % stride == 0
         assert (kernel_size[0] - stride) % 2 == 0
 
@@ -413,7 +418,27 @@ class Model:
         stride: int = 1, padding: int = 0, train: bool, act: bool = True,
         eps: float = 1e-5,
     ) -> tp.Tuple[Array, tp.Optional[Params]]:
-        """conv (+BN if present) (+activation). x: [N, F, Cin] channels-last."""
+        """conv (+BN if present) (+activation). x: [N, F, Cin] channels-last.
+
+        With self.remat set (train.remat), the unit is wrapped in
+        jax.checkpoint so backward recomputes the conv/BN/act intermediates
+        instead of keeping [B*T, F, C] activations resident — what lets the
+        L recipe (batch 64 x 2 s, reference configs/fastenhancer/l.yaml)
+        train on a single 16 GB chip.
+        """
+        if train and self.remat:
+            fn = jax.checkpoint(functools.partial(
+                self._conv_bn_act_impl, stride=stride, padding=padding,
+                train=True, act=act, eps=eps))
+            return fn(p, s, x)
+        return self._conv_bn_act_impl(p, s, x, stride=stride, padding=padding,
+                                      train=train, act=act, eps=eps)
+
+    def _conv_bn_act_impl(
+        self, p: Params, s: tp.Optional[Params], x: Array, *,
+        stride: int = 1, padding: int = 0, train: bool, act: bool = True,
+        eps: float = 1e-5,
+    ) -> tp.Tuple[Array, tp.Optional[Params]]:
         conv = dict(p["conv"])
         conv["weight"] = self._conv_weight(p["conv"])
         y = fnn.conv1d_cl(conv, x, stride=stride, padding=padding)
@@ -473,7 +498,7 @@ class Model:
         h_out: tp.List[Array] = []
         for i, (bp, bs) in enumerate(zip(params["rf_blocks"], stats["rf_blocks"])):
             h_i = None if h0 is None else h0[i]
-            x, h_t, s = self._block_apply(bp, bs, x, h_i, train=train)
+            x, h_t, s = self._apply_block(bp, bs, x, h_i, train)
             h_out.append(h_t)
             if s is not None:
                 new_stats["rf_blocks"][i] = s
@@ -574,6 +599,16 @@ class Model:
         mask = self.mask_act(x)
         mask = mask.reshape(b, t, f_in, 2).transpose(0, 2, 1, 3)  # [B, F, T, 2]
         return mask
+
+    def _apply_block(self, bp: Params, bs: Params, x: Array, h0, train: bool):
+        """_block_apply, rematerialised under train.remat: backward keeps
+        only the block boundary and recomputes the GRU scan / attention
+        internals, bounding activation memory to one block's working set."""
+        if train and self.remat:
+            fn = jax.checkpoint(
+                lambda p, s, xx, hh: self._block_apply(p, s, xx, hh, True))
+            return fn(bp, bs, x, h0)
+        return self._block_apply(bp, bs, x, h0, train)
 
     def _block_apply(
         self,

@@ -151,7 +151,7 @@ class Model(DefaultModel):
         for i, (bp, bs) in enumerate(zip(params["rf_blocks"],
                                          stats["rf_blocks"])):
             h_i = None if block_h is None else block_h[i]
-            xb, h_t, s = self._block_apply(bp, bs, xb, h_i, train=train)
+            xb, h_t, s = self._apply_block(bp, bs, xb, h_i, train)
             h_out.append(h_t)
             if s is not None:
                 new_stats["rf_blocks"][i] = s

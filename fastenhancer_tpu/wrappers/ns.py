@@ -68,6 +68,11 @@ class ModelWrapper:
             # fp16:True in reference configs -> bf16 on TPU (no GradScaler)
             use_mixed = getattr(hp, "fp16", False) or getattr(hp, "bf16", False)
             self.compute_dtype = jnp.bfloat16 if use_mixed else None
+            # train.remat: per-block/per-conv jax.checkpoint in the backward
+            # (activation recompute). Lets the L recipe (batch 64 x 2 s,
+            # reference configs/fastenhancer/l.yaml) train on one 16 GB chip;
+            # math-identical, opt-in via `-p train.remat=True`.
+            self.model.remat = bool(getattr(hp, "remat", False))
 
             if "consistency" in hp.losses:
                 hp.losses.consistency["n_fft"] = hps.model_kwargs.n_fft

@@ -36,6 +36,9 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--no-mixed", action="store_true",
                    help="force f32 compute (recipes default to mixed bf16)")
+    p.add_argument("--remat", action="store_true",
+                   help="train.remat=True (activation recompute; needed for "
+                        "the L recipe at batch 64 on a 16 GB chip)")
     args = p.parse_args()
 
     from fastenhancer_tpu.utils.hparams import get_hparams
@@ -45,6 +48,8 @@ def main():
     if args.no_mixed:
         hps.train.fp16 = False
         hps.train.bf16 = False
+    if args.remat:
+        hps.train.remat = True
     if "pesq" in hps:
         hps.pop("pesq")  # no metric executor for a pure-throughput run
     hps.base_dir = "/tmp/bench_train"

@@ -168,3 +168,41 @@ def test_stream_sharded_matches_single_device():
     y8 = np.asarray(run(replicate(variables, mesh),
                         shard_batch(jnp.asarray(wav), mesh)))
     np.testing.assert_allclose(y8, y1, atol=1e-6)
+
+
+def test_remat_matches_unremat():
+    """train.remat (per-block/per-conv jax.checkpoint) is math-identical:
+    same loss, same grad norm, same one-step state update as the plain step
+    (up to float association — recompute changes XLA fusion order, so exact
+    bit equality over many AdamP steps is not expected: its discrete
+    projection branch amplifies 1e-10 reassociation noise like any op
+    reordering does). Remat is what lets the L recipe (batch 64 x 2 s,
+    reference configs/fastenhancer/l.yaml) fit a single 16 GB chip."""
+    losses = Losses(HP_TRAIN["losses"])
+    rng = np.random.default_rng(7)
+    batch = _batch(rng, b=4, t=320)
+
+    results = []
+    for remat in (False, True):
+        model = _tiny_model()
+        model.remat = remat
+        variables = model.init(jax.random.PRNGKey(0))
+        opt = get_optimizer(model, variables["params"], HP_TRAIN)
+        sched = get_scheduler(opt, HP_TRAIN)
+        step_fn = make_train_step(model, losses, opt, donate=False)
+        state = {"variables": variables,
+                 "opt_state": opt.init(variables["params"])}
+        lrs = jnp.asarray(sched.lrs, jnp.float32)
+        state, metrics = step_fn(state, batch, lrs)
+        results.append((float(metrics["loss/total"]),
+                        float(metrics["grad_norm"]), state))
+
+    (l0, g0, s0), (l1, g1, s1) = results
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0["variables"]),
+                    jax.tree.leaves(s1["variables"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s0["opt_state"]),
+                    jax.tree.leaves(s1["opt_state"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
