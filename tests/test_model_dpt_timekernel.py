@@ -134,3 +134,32 @@ def test_chunked_stream_equals_per_frame(name, kwargs):
     y1 = np.asarray(model.stream(variables, wav))
     y4 = np.asarray(model.stream(variables, wav, chunk_frames=4))
     np.testing.assert_allclose(y4, y1, atol=1e-4)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("fastenhancer.dptransformer", DPT_KWARGS),   # KV carries + _pe_time closure
+    ("fastenhancer.time_kernel", TK_KWARGS),      # 2-D convs, own model_forward
+])
+def test_remat_grads_match(name, kwargs):
+    """train.remat (per-block jax.checkpoint) leaves variant gradients
+    unchanged up to float association — guards the checkpointed lambda's
+    closure conversion (dptransformer threads params["time_pe"] through a
+    model attribute during forward)."""
+    model = get_model(name, **kwargs)
+    variables = model.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(_rand_wav(2, model.hop_size * 8))
+
+    grads = []
+    for remat in (False, True):
+        model.remat = remat
+
+        def loss(params):
+            w, s, _ = model.forward(
+                {"params": params, "stats": variables["stats"]}, wav,
+                train=True)
+            return jnp.mean(jnp.square(w)) + jnp.mean(jnp.square(s))
+
+        grads.append(jax.jit(jax.grad(loss))(variables["params"]))
+    model.remat = False
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
