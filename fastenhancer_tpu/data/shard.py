@@ -414,6 +414,13 @@ class ShardDataset:
             "onset_sample",
             cut.custom.get("rir_onset", int(np.argmax(np.abs(rir))))))
         t60 = float(cut.custom.get("t60", cut.custom.get("rir_t60", 0.3)))
+        if t60 > 50.0:
+            # milliseconds, not seconds: the reference's BRUDEX builder
+            # stores T60 in ms (reference scripts/data/shard_brudex.py:72)
+            # while get_rts_rir consumes seconds — normalize so shards
+            # built by either tool behave identically (no real room has a
+            # 50 s T60, no ms-valued one is below 50)
+            t60 = t60 / 1000.0
         return rir, onset, t60
 
     def _fit(self, audio: np.ndarray, target: int,

@@ -76,15 +76,16 @@ def main():
             _report(res, failed)
             if failed and args.failfast:
                 break
+        n_run = len(results)
         results = None  # already reported
 
     if results is not None:
         for res in results:
             _report(res, failed)
+        n_run = len(results)
 
     n = len(files)
-    n_run = len(results) if results is not None else None
-    if n_run is not None and n_run < n:   # failfast cut the parallel run
+    if n_run < n:   # failfast cut the run short (serial or parallel)
         print(f"\n{n_run - len(failed)}/{n_run} run files green "
               f"({n - n_run} skipped by -x) in {time.time() - t0:.0f}s")
     else:

@@ -113,6 +113,11 @@ def vad_segments(
         return []
     pow_f = (audio[: n * frame].reshape(n, frame) ** 2).mean(axis=1)
     ref = active_rms_relative(audio, sr=sr) ** 2
+    if ref <= 0.0:
+        # no frame cleared the absolute activity floor (silent/near-silent
+        # recording): no speech segments — without this, ref=0 would mark
+        # every nonzero noise-floor frame as speech
+        return []
     active = pow_f > ref * (10.0 ** (threshold_db / 10.0))
 
     segs = []

@@ -58,23 +58,32 @@ class Directories:
         files_to_exclude = {os.path.abspath(f) for f in files_to_exclude}
         exclude = [os.path.abspath(d) for d in directories_to_exclude]
 
-        self.dir_filelist: tp.Dict[str, tp.List[str]] = {}
+        # keyed by the ORIGINAL include entry (a dir path or a .tsv path):
+        # two .tsv filelists in the same directory must not overwrite each
+        # other, so the key is the entry and the join base is stored with
+        # the list
+        self.dir_filelist: tp.Dict[str, tp.Tuple[str, tp.List[str]]] = {}
         self.total_lengths = 0
         lengths = {}
-        for directory in directories_to_include:
+        for entry in directories_to_include:
+            directory = entry
             file_list = []
             if directory.endswith(".tsv"):
+                tsv_base = os.path.dirname(directory)
                 with open(directory) as f:
                     for line in f:
                         file = line.strip().split("\t")[0]
                         if not file:
+                            continue
+                        full = os.path.abspath(os.path.join(tsv_base, file))
+                        if full in files_to_exclude:
                             continue
                         if extension == "":
                             if is_audiofile(file):
                                 file_list.append(file)
                         elif file.endswith(extension):
                             file_list.append(file[: -len(extension)])
-                directory = os.path.dirname(directory)
+                directory = tsv_base
             else:
                 for root, _, files in os.walk(directory, followlinks=True):
                     absroot = os.path.abspath(root)
@@ -94,11 +103,11 @@ class Directories:
                             file_list.append(rel[: -len(extension)])
             if not file_list:
                 raise RuntimeError(
-                    f"Directory {directory} has no matching files")
+                    f"Directory {entry} has no matching files")
             file_list.sort()
-            self.dir_filelist[directory] = file_list
+            self.dir_filelist[entry] = (directory, file_list)
             self.total_lengths += len(file_list)
-            lengths[directory] = len(file_list)
+            lengths[entry] = len(file_list)
         self.lengths = dict(sorted(lengths.items()))
 
     def __len__(self) -> int:
@@ -107,12 +116,11 @@ class Directories:
     def choice(self) -> str:
         idx = random.randrange(self.total_lengths)
         cumsum = 0
-        for directory, length in self.lengths.items():
+        for entry, length in self.lengths.items():
             if idx < cumsum + length:
+                base, files = self.dir_filelist[entry]
                 return os.path.join(
-                    directory,
-                    self.dir_filelist[directory][idx - cumsum]
-                    + self.extension)
+                    base, files[idx - cumsum] + self.extension)
             cumsum += length
         raise RuntimeError(self.lengths, self.total_lengths, idx)
 
@@ -154,7 +162,8 @@ class DirectoriesDataset:
                 directories_to_exclude=kwargs.get(
                     "directories_to_exclude", []),
                 extension=kwargs["extension"],
-                mix=kwargs.get("mix", None))
+                mix=kwargs.get("mix", None),
+                files_to_exclude=kwargs.get("files_to_exclude", ()))
             self.loaders[name] = dirs
             self.directories.append(dirs)
             self.probabilities.append(float(kwargs["probability"]))

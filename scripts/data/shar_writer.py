@@ -146,11 +146,15 @@ def run_adapter(
     num_jobs: int = 1,
     force: bool = False,
     fields: tp.Sequence[str] = ("recording",),
+    initializer: tp.Optional[tp.Callable] = None,
+    initargs: tp.Sequence = (),
 ) -> tp.Optional[str]:
     """Pool-process `jobs` with `process_one` (returns cuts, or an error/skip
     string) and stream results into `out_dir/name`. Writes a `.{name}.done`
     marker like the reference (:198-207); returns the summary, or None when
-    the marker exists and force is False."""
+    the marker exists and force is False. `initializer(*initargs)` runs once
+    per worker (and once in-process when num_jobs == 1) for adapters with
+    per-worker sampler state (shard_test)."""
     root = os.path.join(out_dir, name)
     done = os.path.join(out_dir, f".{name}.done")
     if os.path.exists(done):
@@ -163,9 +167,12 @@ def run_adapter(
     n = 0
     with ShardWriter(root, shard_size, fields=fields) as writer:
         if num_jobs > 1:
-            pool = ProcessPoolExecutor(num_jobs)
+            pool = ProcessPoolExecutor(num_jobs, initializer=initializer,
+                                       initargs=tuple(initargs))
             results = pool.map(process_one, jobs, chunksize=4)
         else:
+            if initializer is not None:
+                initializer(*initargs)
             results = map(process_one, jobs)
         for res in results:
             if isinstance(res, str):

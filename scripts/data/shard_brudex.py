@@ -49,8 +49,16 @@ def process_rir_file(job, fs: int):
         cuts.append({
             "id": f"{stem}_ch{ch_idx:02d}_{file_idx}",
             "audio": np.asarray(rir, np.float32), "sr": rir_fs,
+            # stored in SECONDS: the shard consumer (data/shard.py
+            # _pick_rir -> shard_mixer.get_rts_rir) interprets custom
+            # ["t60"] in seconds, like shard_myriad writes. The reference
+            # adapter writes milliseconds here (scripts/data/
+            # shard_brudex.py:72) even though its get_rts_rir documents
+            # seconds; our consumer (shard.py _pick_rir) normalizes
+            # implausibly-large values as ms so reference-built shards
+            # still load correctly.
             "custom": {"onset_sample": int(get_rir_start_sample(rir)),
-                       "t60": t60_ms, "is_real": True}})
+                       "t60": t60_ms / 1000.0, "is_real": True}})
     return cuts
 
 

@@ -20,25 +20,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-import numpy as np
-
-
-def process_speech_file(job, fs: int, min_sec: float):
-    idx, path = job
-    from fastenhancer_tpu.data.audio_io import read_audio
-    from scripts.audiolib import active_rms_relative
-
-    try:
-        audio, _ = read_audio(path, sr=fs)
-    except Exception as e:
-        return f"Error processing {path}: {e}"
-    rms = active_rms_relative(audio, fs)
-    if rms == 0.0:
-        return f"File {path} has zero active RMS, skipping."
-    if len(audio) / fs < min_sec:
-        return f"File {path} is too short ({len(audio) / fs:.2f}s), skipping."
-    return [{"id": str(idx), "audio": np.asarray(audio, np.float32),
-             "sr": fs, "custom": {"rms": float(rms)}}]
 
 
 def main(argv=None):
@@ -58,7 +39,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from scripts.data.shar_writer import run_adapter
-    from scripts.data.shard_speech import collect_wavs
+    # process_speech_file reads via read_audio, which decodes flac through
+    # soundfile and wav natively — shared with the wav-corpus adapter
+    from scripts.data.shard_speech import collect_wavs, process_speech_file
 
     files = collect_wavs(args.data_dir, extension=args.extension)
     print(f"Total files: {len(files)}")

@@ -23,11 +23,11 @@ import numpy as np
 def process_speech_file(job, fs: int, min_sec: float):
     """(idx, path) -> [cut] | skip-message. Module-level for pool pickling."""
     idx, path = job
-    from fastenhancer_tpu.data.audio_io import read_wav
+    from fastenhancer_tpu.data.audio_io import read_audio
     from scripts.audiolib import active_rms_relative
 
     try:
-        audio, _ = read_wav(path, sr=fs)
+        audio, _ = read_audio(path, sr=fs)
     except Exception as e:  # match reference behavior: report and continue
         return f"Error processing {path}: {e}"
     if len(audio) / fs < min_sec:

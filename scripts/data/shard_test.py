@@ -23,9 +23,7 @@ of lhotse numpy arrays (same lossless payload, readable by our tar walker).
 import argparse
 import os
 import random
-import shutil
 import sys
-from concurrent.futures import ProcessPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
@@ -35,28 +33,19 @@ import numpy as np
 _STATE: dict = {}
 
 
-_WORKER_COUNTER = None  # mp.Value set by main(); fork-inherited by workers
-
-
 def _init_worker(config_path: str, seed: int):
     """Build the per-worker samplers (reference :67-110). The reference
     seeds workers from the pid, which makes the 'frozen' set different on
-    every invocation; here each worker takes a deterministic index from a
-    shared counter so `--seed S` regenerates the exact same shards
-    (single- or multi-job) — a documented improvement."""
-    if _WORKER_COUNTER is None:
-        widx = 0
-    else:
-        with _WORKER_COUNTER.get_lock():
-            widx = _WORKER_COUNTER.value
-            _WORKER_COUNTER.value += 1
-    random.seed(seed + 1000 * widx)
-    np.random.seed((seed + 1000 * widx) % 2**32)
-
+    every invocation; here every cut reseeds from (seed, cut index) at the
+    top of process_single_line, so `--seed S` regenerates the exact same
+    shards regardless of job count or OS scheduling — a documented
+    improvement."""
     from fastenhancer_tpu.utils.hparams import get_hparams
 
     from scripts.data.corpus_utils import (DirectoriesDataset, Farend,
                                            ReverbDataset)
+
+    _STATE["seed"] = seed
 
     hps = get_hparams(config_path)
     snr_lo, snr_hi, snr_step = hps["nearend"]["noise"]["snr"]
@@ -100,6 +89,12 @@ def process_single_line(job):
 
     from scripts.data.corpus_utils import match_length
 
+    # per-cut seeding: every degradation draw for cut `idx` comes from a
+    # stream keyed by (base seed, idx), so the frozen set is identical
+    # whichever worker (or how many) processes it
+    random.seed(_STATE["seed"] * 1_000_003 + idx)
+    np.random.seed((_STATE["seed"] + 10007 * idx) % 2**32)
+
     fs = _STATE["fs"]
     try:
         speech, _ = read_audio(os.path.join(_STATE["data_dir"], path),
@@ -137,7 +132,7 @@ def process_single_line(job):
         cut["sup"]["farend_type"] = ftype
         cut["sup"]["return_farend"] = f_exists
         cut["sup"]["ser"] = ser if e_exists else float("inf")
-    return cut
+    return [cut]
 
 
 def main(argv=None):
@@ -150,24 +145,13 @@ def main(argv=None):
     ap.add_argument("-j", "--num-jobs", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0,
                     help="base seed; the same seed regenerates the same "
-                         "shards (workers derive deterministic offsets)")
+                         "shards (every cut reseeds from seed + index)")
     ap.add_argument("--shard-size", type=int, default=1000)
     ap.add_argument("--debug", action="store_true",
                     help="process only 100 files with one worker")
     args = ap.parse_args(argv)
 
     from fastenhancer_tpu.utils.hparams import get_hparams
-
-    from scripts.data.shar_writer import ShardWriter
-
-    done = os.path.join(args.shar_dir, f".{args.name}.done")
-    root = os.path.join(args.shar_dir, args.name)
-    if os.path.exists(done):
-        if not args.force:
-            print(f"{args.name}: previous shards found; use --force to "
-                  f"overwrite")
-            return
-        shutil.rmtree(root, ignore_errors=True)
 
     hps = get_hparams(args.config)
     data_dir = hps["input"]["nearend_speech"]["base_dir"]
@@ -189,36 +173,13 @@ def main(argv=None):
     if "farend" in hps["input"]:
         fields += ["farend", "echo"]
     print(f"Total files: {len(files)}; fields: {fields}")
+    from scripts.data.shar_writer import run_adapter
 
-    jobs = list(enumerate(files))
-    n_done = 0
-    with ShardWriter(root, args.shard_size, fields=fields) as writer:
-        if args.num_jobs > 1:
-            import multiprocessing
-
-            global _WORKER_COUNTER
-            _WORKER_COUNTER = multiprocessing.Value("i", 0)
-            pool = ProcessPoolExecutor(
-                args.num_jobs, initializer=_init_worker,
-                initargs=(args.config, args.seed))
-            results = pool.map(process_single_line, jobs, chunksize=4)
-        else:
-            _init_worker(args.config, args.seed)
-            results = map(process_single_line, jobs)
-        for res in results:
-            if isinstance(res, str):
-                print(res)
-            else:
-                writer.write(res)
-            n_done += 1
-            if n_done % 20 == 0:
-                print(f"\r{n_done}/{len(jobs)}", end="", flush=True)
-        if args.num_jobs > 1:
-            pool.shutdown()
-        desc = writer.close()
-    with open(done, "w") as f:
-        f.write(desc + "\n")
-    print(f"\n{args.name}: {desc} -> {root}")
+    run_adapter(
+        list(enumerate(files)), process_single_line,
+        args.shar_dir, args.name, shard_size=args.shard_size,
+        num_jobs=args.num_jobs, force=args.force, fields=fields,
+        initializer=_init_worker, initargs=(args.config, args.seed))
 
 
 if __name__ == "__main__":

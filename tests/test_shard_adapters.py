@@ -185,6 +185,11 @@ def test_pick_rir_accepts_reference_onset_key(tmp_path):
                                                     "rir_t60": 0.4})))
     _, onset, t60 = shard_mod.ShardDataset._pick_rir(ds, None, 100)
     assert onset == 13 and t60 == 0.4
+    # reference-built BRUDEX shards store t60 in ms: normalized to seconds
+    ds = types.SimpleNamespace(rir=FakeAux(FakeCut({"onset_sample": 1,
+                                                    "t60": 310.0})))
+    _, _, t60 = shard_mod.ShardDataset._pick_rir(ds, None, 100)
+    assert t60 == pytest.approx(0.31)
     # no metadata: argmax fallback
     ds = types.SimpleNamespace(rir=FakeAux(FakeCut({})))
     _, onset, _ = shard_mod.ShardDataset._pick_rir(ds, None, 100)
@@ -213,8 +218,9 @@ def test_shard_brudex_adapter(tmp_path):
                   key=lambda c: c.id)
     assert [c.id for c in cuts] == [
         "rev_high_b_ch00_1", "rev_low_a_ch00_0", "rev_low_a_ch01_0"]
-    assert cuts[0].custom["t60"] == pytest.approx(1300.0)  # milliseconds
-    assert cuts[1].custom["t60"] == pytest.approx(310.0)
+    # seconds (the consumer's unit; the reference adapter writes ms)
+    assert cuts[0].custom["t60"] == pytest.approx(1.30)
+    assert cuts[1].custom["t60"] == pytest.approx(0.31)
     assert all(c.custom["is_real"] is True for c in cuts)
     assert all(abs(c.custom["onset_sample"] - 100) <= 2 for c in cuts)
     # channel split: ch01 is the half-gain copy

@@ -268,3 +268,79 @@ def test_float32_wav_riff_size_is_spec_valid(tmp_path):
     y, sr = read_wav(path)
     assert sr == SR
     np.testing.assert_allclose(y, x, atol=0)
+
+
+def test_directories_two_tsvs_same_dir_and_exclude(tmp_path):
+    """Two .tsv filelists in one directory keep distinct pools (keyed by
+    the entry, not its parent dir), and files_to_exclude filters tsv
+    entries too."""
+    from scripts.data.corpus_utils import Directories
+
+    root = tmp_path / "noise"
+    (root / "keep").mkdir(parents=True)
+    for i in range(4):
+        write_wav(str(root / "keep" / f"n{i}.wav"), _noise(0.2, i), SR)
+    a = root / "a.tsv"
+    b = root / "b.tsv"
+    a.write_text("keep/n0.wav\nkeep/n1.wav\n")
+    b.write_text("keep/n2.wav\nkeep/n3.wav\n")
+    d = Directories([str(a), str(b)], extension="")
+    assert len(d) == 4
+    random.seed(0)
+    drawn = {os.path.basename(d.choice()) for _ in range(60)}
+    assert drawn == {"n0.wav", "n1.wav", "n2.wav", "n3.wav"}
+
+    d2 = Directories([str(a), str(b)], extension="",
+                     files_to_exclude=[str(root / "keep" / "n1.wav"),
+                                       str(root / "keep" / "n2.wav")])
+    assert len(d2) == 2
+    drawn = {os.path.basename(d2.choice()) for _ in range(40)}
+    assert drawn == {"n0.wav", "n3.wav"}
+
+
+def test_shard_test_multijob_deterministic(tmp_path):
+    """--seed S regenerates bit-identical shards whatever -j is: every cut
+    reseeds from (seed, index), so worker scheduling cannot matter."""
+    from fastenhancer_tpu.data.shard import ShardSource
+    from scripts.data.shard_test import main
+
+    sp = _speech_corpus(tmp_path)
+    nz = _noise_corpus(tmp_path)
+    cfg = {
+        "fs": SR, "silence_length": 0.1,
+        "activity_threshold_relative": -25.0,
+        "input": {
+            "nearend_speech": {"base_dir": str(sp), "extension": ".wav"},
+            "nearend_noise": {"pool": {
+                "directories_to_include": [str(nz)], "extension": "",
+                "probability": 1.0}},
+        },
+        "nearend": {"speech_dbFS": [-30.0, -15.0],
+                    "noise": {"snr": [-5, 15, 5]}},
+    }
+    cfg_path = tmp_path / "se_test.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+
+    sets = []
+    for run, jobs in (("j1", "1"), ("j2", "2"), ("j1b", "1")):
+        main(["-n", run, "-c", str(cfg_path), "--seed", "11",
+              "-s", str(tmp_path / "shards"), "-j", jobs])
+        src = ShardSource(str(tmp_path / "shards" / run),
+                          fields=("recording", "noise"))
+        sets.append(sorted(src.iter_cuts(seed=0), key=lambda c: int(c.id)))
+    for other in sets[1:]:
+        for c0, c1 in zip(sets[0], other):
+            assert c0.sup["snr"] == c1.sup["snr"]
+            assert c0.sup["dbFS"] == pytest.approx(c1.sup["dbFS"])
+            np.testing.assert_array_equal(c0.extras["noise"],
+                                          c1.extras["noise"])
+
+
+def test_vad_segments_silent_recording():
+    """A recording with no frame above the absolute activity floor yields
+    no segments (ref=0 used to mark the whole noise floor as speech)."""
+    from scripts.audiolib import vad_segments
+
+    rng = np.random.default_rng(0)
+    silent = (rng.standard_normal(SR * 2) * 1e-5).astype(np.float32)
+    assert vad_segments(silent, SR) == []
