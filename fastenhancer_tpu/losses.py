@@ -164,18 +164,23 @@ class Losses:
         self._n_items = 0
 
     def accumulate(self, per_loss: tp.Mapping[str, tp.Any], batch_size: int) -> None:
+        """Running sums. Device scalars are accumulated LAZILY (tiny async
+        device adds, no host fetch) so the step loop never blocks on the
+        chip; the sync happens at print()/get()/reduce() time. The
+        reference accumulates on-GPU the same way (losses.py:40-61)."""
         for n, v in per_loss.items():
-            self._sums[n] += float(v) * batch_size
+            self._sums[n] = self._sums[n] + v * batch_size
         self._n_items += batch_size
 
     def get(self, key: str) -> float:
         if key not in self._sums or self._n_items == 0:
             return 0.0
-        return self._sums[key] / self._n_items
+        return float(self._sums[key]) / self._n_items
 
     def print(self) -> str:
         return "".join(
-            f"  {n}: {s / max(self._n_items, 1):8.2e}" for n, s in self._sums.items()
+            f"  {n}: {float(s) / max(self._n_items, 1):8.2e}"
+            for n, s in self._sums.items()
         )
 
     def reduce(self) -> tp.Dict[str, float]:

@@ -152,7 +152,10 @@ class ModelWrapper:
             self.state, metrics = self.train_step(self.state, dev_batch,
                                                   self._lrs())
             last_grads = metrics.pop("grads", None)
-            per_loss = {k.split("/", 1)[1]: float(v)
+            # device scalars stay on-chip: Losses accumulates them lazily,
+            # so the loop queues the next step without a host round-trip
+            # (the print below is the only sync point)
+            per_loss = {k.split("/", 1)[1]: v
                         for k, v in metrics.items() if k.startswith("loss/")
                         and k != "loss/total"}
             self.loss.accumulate(per_loss, real_b)
@@ -190,7 +193,9 @@ class ModelWrapper:
         for idx, batch in enumerate(dataloader, start=1):
             dev_batch, real_b = self._device_batch(batch, ("clean", "noisy"))
             out = self.valid_step(self.state["variables"], dev_batch)
-            per_loss = {k.split("/", 1)[1]: float(v)
+            # no print in the valid loop -> fully async pipeline; the one
+            # sync is loss.reduce() after the last batch
+            per_loss = {k.split("/", 1)[1]: v
                         for k, v in out.items() if k != "loss/total"}
             self.loss.accumulate(per_loss, real_b)
             if self.test and idx >= 10:

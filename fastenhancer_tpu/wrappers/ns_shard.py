@@ -89,7 +89,10 @@ class ModelWrapper(BaseModelWrapper):
             dev_batch, real_b = self._mix_to_device(batch)
             self.state, metrics = self.train_step(self.state, dev_batch,
                                                   self._lrs())
-            per_loss = {k.split("/", 1)[1]: float(v)
+            # lazy device scalars (see ns.py): t_step is host dispatch
+            # time; the print-time fetch below blocks on device completion,
+            # so the printed load/step split plus the wall total stay honest
+            per_loss = {k.split("/", 1)[1]: v
                         for k, v in metrics.items()
                         if k.startswith("loss/") and k != "loss/total"}
             t_step += time.perf_counter() - t_mark
