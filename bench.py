@@ -141,8 +141,9 @@ def main():
             raise
         # keep the cause visible: an unrelated failure (OOM, bad config)
         # must not masquerade as a fused-kernel compile problem
+        msg = str(e).splitlines() or [""]
         print("fused-stack path failed "
-              f"({type(e).__name__}: {str(e).splitlines()[-1][:200]}); "
+              f"({type(e).__name__}: {msg[-1][:200]}); "
               "falling back to the XLA scan body", file=sys.stderr)
         use_fused, fused_plan = False, None
         bench_fn = make_bench_fn(None)

@@ -274,6 +274,8 @@ class StreamingEngine:
         """Feed silence until the algorithmic delay is drained; returns the
         remaining `delay_samples` of output for this stream."""
         n_ticks = -(-self.delay_samples // self.hop)
+        if n_ticks == 0:  # n_fft == hop: zero algorithmic delay
+            return np.zeros(0, np.float32)
         outs = [self.tick({handle: np.zeros(self.hop, np.float32)})[handle]
                 for _ in range(n_ticks)]
         return np.concatenate(outs)[:self.delay_samples]

@@ -53,8 +53,15 @@ class Directories:
             for name, prob in dict(mix).items():
                 self.names_to_mix.append(name)
                 self.probabilities.append(float(prob))
+            rest = 1.0 - sum(self.probabilities)
+            if rest < -1e-9:
+                # random.choices silently accepts a negative weight and
+                # draws from the wrong pools — fail fast instead
+                raise ValueError(
+                    f"mix probabilities sum to {sum(self.probabilities):g} "
+                    "> 1; the remainder is the no-mix weight")
             self.names_to_mix.append("")
-            self.probabilities.append(1.0 - sum(self.probabilities))
+            self.probabilities.append(max(rest, 0.0))
         files_to_exclude = {os.path.abspath(f) for f in files_to_exclude}
         exclude = [os.path.abspath(d) for d in directories_to_exclude]
 

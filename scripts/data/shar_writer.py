@@ -118,7 +118,10 @@ class ShardWriter:
                 self.out_dir,
                 f"cuts.{self.shard_idx:06d}.jsonl.gz"), "wt") as f:
             for m in self._metas:
-                f.write(json.dumps(m) + "\n")
+                # allow_nan=False: non-finite floats would serialize as the
+                # non-standard Infinity/NaN tokens and break strict-JSON
+                # consumers of the shard (jq, orjson); fail at build time
+                f.write(json.dumps(m, allow_nan=False) + "\n")
         self.shard_idx += 1
         self._tars = {}
         self._metas = []
@@ -148,28 +151,37 @@ def run_adapter(
     fields: tp.Sequence[str] = ("recording",),
     initializer: tp.Optional[tp.Callable] = None,
     initargs: tp.Sequence = (),
+    chunksize: int = 4,
 ) -> tp.Optional[str]:
     """Pool-process `jobs` with `process_one` (returns cuts, or an error/skip
     string) and stream results into `out_dir/name`. Writes a `.{name}.done`
     marker like the reference (:198-207); returns the summary, or None when
     the marker exists and force is False. `initializer(*initargs)` runs once
     per worker (and once in-process when num_jobs == 1) for adapters with
-    per-worker sampler state (shard_test)."""
+    per-worker sampler state (shard_test). `chunksize` sizes the pool's
+    work batches when num_jobs > 1."""
     root = os.path.join(out_dir, name)
     done = os.path.join(out_dir, f".{name}.done")
     if os.path.exists(done):
         if not force:
             print(f"{name}: previous shards found; use --force to overwrite")
             return None
-        import shutil
+    import shutil
 
-        shutil.rmtree(root, ignore_errors=True)
+    # no marker + existing dir means a previous run crashed mid-write;
+    # stale cuts.NNNNNN shards would otherwise survive and contaminate
+    # this rerun (the reader globs cuts.*), so always start clean — and
+    # drop any stale marker so a crash during THIS run isn't mistaken
+    # for a completed build next time
+    shutil.rmtree(root, ignore_errors=True)
+    if os.path.exists(done):
+        os.remove(done)
     n = 0
     with ShardWriter(root, shard_size, fields=fields) as writer:
         if num_jobs > 1:
             pool = ProcessPoolExecutor(num_jobs, initializer=initializer,
                                        initargs=tuple(initargs))
-            results = pool.map(process_one, jobs, chunksize=4)
+            results = pool.map(process_one, jobs, chunksize=chunksize)
         else:
             if initializer is not None:
                 initializer(*initargs)

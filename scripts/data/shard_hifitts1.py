@@ -7,7 +7,8 @@ resample to --fs, drop files shorter than --min-sec or with zero active
 RMS, one cut per file with `custom.rms`. The reference batches pool work
 (--batch-size) purely to bound writer-queue memory; here the writer
 consumes the pool iterator directly so memory stays bounded without
-batching, and --batch-size maps to the pool chunksize.
+batching, and --batch-size is divided across workers to size the pool
+chunks (capped at 64 files per chunk to keep the tail balanced).
 
     python -m scripts.data.shard_hifitts1 -n hifitts -d HIFITTS_AUDIO_DIR \
         -s SHARD_ROOT [--fs 16000] [-e flac] [-j 8] [-f]
@@ -50,7 +51,8 @@ def main(argv=None):
         functools.partial(process_speech_file, fs=args.fs,
                           min_sec=args.min_sec),
         args.shar_dir, args.name, shard_size=args.shard_size,
-        num_jobs=args.num_jobs, force=args.force)
+        num_jobs=args.num_jobs, force=args.force,
+        chunksize=min(64, max(1, args.batch_size // max(args.num_jobs, 1))))
 
 
 if __name__ == "__main__":

@@ -131,7 +131,12 @@ def process_single_line(job):
         cut["custom"]["rms_echo"] = float(_active_rms(echo, fs))
         cut["sup"]["farend_type"] = ftype
         cut["sup"]["return_farend"] = f_exists
-        cut["sup"]["ser"] = ser if e_exists else float("inf")
+        # reference stores inf when echo is absent
+        # (/root/reference/scripts/data/shard_test.py:190), but inf is not
+        # representable in strict JSON — omit the key instead; readers
+        # treat a missing ser as "no echo"
+        if e_exists:
+            cut["sup"]["ser"] = ser
     return [cut]
 
 

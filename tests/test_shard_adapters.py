@@ -368,3 +368,42 @@ def test_shard_hifitts_adapter(tmp_path):
           "-e", "wav", "-j", "1"])
     cuts = _read_all(tmp_path / "shards" / "hifitts")
     assert len(cuts) == 1 and cuts[0].custom["rms"] > 0
+
+
+def test_run_adapter_cleans_stale_crashed_run(tmp_path):
+    """A crashed build (shards on disk, no .done marker) must not leak its
+    stale cuts.* files into a rerun — the reader globs cuts.* and would
+    silently train on both generations."""
+    from scripts.data.shard_speech import main
+
+    corpus = tmp_path / "speech"
+    corpus.mkdir()
+    write_wav(str(corpus / "a.wav"), _tone(1.0), SR)
+
+    # simulate a crashed previous run: stale shard files, no marker
+    root = tmp_path / "shards" / "dns"
+    root.mkdir(parents=True)
+    (root / "cuts.000007.jsonl.gz").write_bytes(b"stale")
+    (root / "recording.000007.tar").write_bytes(b"stale")
+
+    main(["-n", "dns", "-d", str(corpus), "-s", str(tmp_path / "shards"),
+          "-j", "1"])
+    assert not (root / "cuts.000007.jsonl.gz").exists()
+    assert not (root / "recording.000007.tar").exists()
+    assert len(_read_all(root)) == 1
+
+
+def test_directories_mix_probabilities_validated(tmp_path):
+    """Mix probabilities summing above 1 would give random.choices a
+    negative no-mix weight (silently corrupting sampling) — must raise."""
+    from scripts.data.corpus_utils import Directories
+
+    d = tmp_path / "pool"
+    d.mkdir()
+    write_wav(str(d / "x.wav"), _tone(0.3), SR)
+    with pytest.raises(ValueError, match="sum"):
+        Directories([str(d)], mix={"a": 0.7, "b": 0.6})
+    # a valid mix still carries the no-mix remainder
+    ok = Directories([str(d)], mix={"a": 0.25, "b": 0.25})
+    assert ok.names_to_mix[-1] == ""
+    assert abs(ok.probabilities[-1] - 0.5) < 1e-9

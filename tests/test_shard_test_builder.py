@@ -5,7 +5,6 @@ set where every cut freezes its degradation recipe — parallel noise /
 rir / farend / echo tars plus per-cut SNR/SER/dbFS supervision custom —
 and scripts/data/utils.py's samplers. Synthesized corpora throughout.
 """
-import math
 import os
 import random
 
@@ -236,13 +235,14 @@ def test_shard_test_farend(tmp_path):
         assert c.sup["return_farend"] is True
         assert c.sup["ser"] in [-10.0, -5.0, 0.0, 5.0, 10.0]
 
-    # farend_only: echo flagged absent -> SER serialized as infinity
+    # farend_only: echo flagged absent -> ser omitted (inf is not strict
+    # JSON; the reference stores float('inf'), shard_test.py:190)
     cfg["farend"]["prob"] = {"farend_echo": 0.0, "farend_only": 1.0}
     cfg_path.write_text(yaml.dump(cfg))
     main(["-n", "aecset", "-c", str(cfg_path),
           "-s", str(tmp_path / "shards"), "-j", "1", "-f"])
     for c in src.iter_cuts(seed=0):
-        assert math.isinf(c.sup["ser"])
+        assert "ser" not in c.sup
         assert c.sup["return_farend"] is True
 
 
