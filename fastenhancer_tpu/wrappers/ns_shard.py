@@ -38,6 +38,10 @@ class ModelWrapper(BaseModelWrapper):
 
     def set_keys(self) -> None:
         self.keys = ["speech", "speech_clean", "noise"]
+        # the valid/pesq datasets are paired NoiseSuppression dirs, not
+        # shards (reference wrappers/ns_shard.py:34, consumed at
+        # train.py:87 via getattr(wrapper, "val_keys", wrapper.keys))
+        self.val_keys = ["clean", "noisy"]
         self.infer_keys = ["clean", "noisy"]
 
     def _mix_to_device(self, batch) -> tp.Tuple[tp.Dict[str, jnp.ndarray], int]:

@@ -359,6 +359,23 @@ def test_ns_shard_training_smoke(shards, tmp_path):
     cfg["train"]["test"] = True
     cfg["train"]["losses"] = {"si_snr": {"weight": 1.0}}
     cfg.pop("pesq", None)
+    # the shard recipe's valid set is a PAIRED NoiseSuppression dir, read
+    # with val_keys=["clean","noisy"] not wrapper.keys (reference
+    # train.py:87, wrappers/ns_shard.py:34)
+    valid_dir = tmp_path / "valid"
+    for kind in ("clean", "noisy"):
+        (valid_dir / kind).mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    from fastenhancer_tpu.data.audio_io import write_wav
+    for i in range(2):
+        c = (rng.standard_normal(SR) * 0.05).astype(np.float32)
+        write_wav(str(valid_dir / "clean" / f"u{i}.wav"), c, SR)
+        write_wav(str(valid_dir / "noisy" / f"u{i}.wav"),
+                  c + (rng.standard_normal(SR) * 0.02).astype(np.float32), SR)
+    cfg["data"]["valid"] = {"clean_dir": str(valid_dir / "clean"),
+                            "noisy_dir": str(valid_dir / "noisy"),
+                            "segment_size": None}
+    cfg["valid"] = {"batch_size": 2, "num_workers": 0}
     cfg_path = tmp_path / "shard_smoke.yaml"
     cfg_path.write_text(yaml.dump(cfg))
     driver = textwrap.dedent(f"""
@@ -376,6 +393,11 @@ def test_ns_shard_training_smoke(shards, tmp_path):
         wrapper.steps_per_epoch = 2
         summary = wrapper.train_epoch(loader)
         assert np.isfinite(summary["scalars"]["loss/si_snr"])
+        # valid epoch through train.py's key selection (val_keys contract)
+        _, valid_loader = get_dataset_dataloader(
+            hps, "valid", getattr(wrapper, "val_keys", wrapper.keys))
+        summary_v = wrapper.valid_epoch(valid_loader)
+        assert np.isfinite(summary_v["scalars"]["loss/si_snr"])
         print("SHARD_SMOKE_OK", summary["scalars"]["loss/si_snr"])
     """)
     env = dict(os.environ, JAX_PLATFORMS="cpu")

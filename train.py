@@ -81,7 +81,8 @@ def main():
     train_dataset, train_loader = get_dataset_dataloader(
         hps, "train", wrapper.keys, n_devices=n_dev)
     _, valid_loader = get_dataset_dataloader(
-        hps, "valid", wrapper.keys, n_devices=n_dev)
+        hps, "valid", getattr(wrapper, "val_keys", wrapper.keys),
+        n_devices=n_dev)
     _, infer_loader = get_dataset_dataloader(
         hps, "infer", wrapper.infer_keys, n_devices=n_dev)
 
