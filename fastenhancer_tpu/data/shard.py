@@ -213,10 +213,27 @@ class ShardSource:
                 meta = by_id.get(stem)
                 extras = {}
                 for f, it in extra_iters.items():
-                    e_stem, e_audio = next(it)
+                    nxt = next(it, None)
+                    if nxt is None:
+                        # a bare next() would be rewrapped by PEP 479 into
+                        # an opaque "generator raised StopIteration"
+                        raise ValueError(
+                            f"shard field {f} ({tars[f]}) has fewer "
+                            f"members than recording (missing {stem})")
+                    e_stem, e_audio = nxt
                     if e_stem.split("_" + f)[0] != stem and e_stem != stem:
                         raise ValueError(
                             f"misaligned shard field {f}: {e_stem} vs {stem}")
+                    if len(e_audio) != len(audio):
+                        # parallel fields must be sample-aligned with the
+                        # recording: a length drift would silently shift
+                        # the shared farend/echo crop cursor for every
+                        # later item (the reference concatenates both
+                        # streams and reuses one cursor, shard_on_the_fly
+                        # :941-957, same design here)
+                        raise ValueError(
+                            f"shard field {f} length {len(e_audio)} != "
+                            f"recording length {len(audio)} for cut {stem}")
                     extras[f] = e_audio
                 if meta is None:
                     continue
@@ -225,8 +242,18 @@ class ShardSource:
                           f"{tars['recording']}")
                 t0 = time.perf_counter()
                 sups = meta.get("supervisions") or [{}]
-                yield Cut(id=stem, duration=float(meta.get("duration",
-                          len(audio) / 16000)),
+                if "duration" in meta:
+                    duration = float(meta["duration"])
+                else:
+                    # both this repo's writer and lhotse always record
+                    # duration; for foreign shards without it, derive from
+                    # the manifest's sampling rate (48 kHz recipes exist —
+                    # hardcoding 16 kHz would triple those durations)
+                    sr = float(meta.get("sampling_rate") or
+                               (meta.get("recording") or {}).get(
+                                   "sampling_rate") or 16000)
+                    duration = len(audio) / sr
+                yield Cut(id=stem, duration=duration,
                           audio=audio, custom=meta.get("custom") or {},
                           extras=extras, sup=sups[0].get("custom") or {})
 
@@ -485,6 +512,10 @@ class ShardDataset:
         is_real = np.zeros(b, bool)
         if fe_pool:
             for j, i in enumerate(fe_needed):
+                # round-robin over the pool, replicating the reference
+                # exactly (:885-886): the label is NOT guaranteed to belong
+                # to the pool cut whose audio the shared crop cursor lands
+                # on (the reference has the same property)
                 is_real[i] = bool(
                     fe_pool[j % len(fe_pool)].custom.get("is_real", False))
 
@@ -627,7 +658,15 @@ class ShardDataset:
             items = []
             try:
                 for _ in range(b_items):
-                    use_codec = rng.random() < self.p_codec
+                    # same joint codec/reverb draw as the bucketing path:
+                    # exclusive, with P(codec)=p_codec and exactly
+                    # P(reverb)=p_reverb (an independent reverb draw gated
+                    # on non-codec items would compound to
+                    # (1-p_codec)*p_reverb)
+                    r_cx = rng.random()
+                    use_codec = r_cx < self.p_codec
+                    use_reverb = (not use_codec
+                                  and r_cx < self.p_codec + self.p_reverb)
                     r = rng.random()
                     echo_type = ("full" if r < self.p_fe_echo else
                                  "farend_only"
@@ -638,7 +677,8 @@ class ShardDataset:
                         extra="codec" if use_codec else None)
                     items.append({"clean": clean,
                                   "speech": codec if use_codec else clean,
-                                  "ids": ids, "echo_type": echo_type})
+                                  "ids": ids, "echo_type": echo_type,
+                                  "use_reverb": use_reverb})
             except StopIteration:
                 if not items:
                     return
@@ -676,11 +716,9 @@ class ShardDataset:
             rir_onset = np.zeros(b, np.int64)
             rir_t60 = np.full(b, 1e-3, np.float32)
             for k, it in enumerate(items):
-                # reverb is exclusive with codec (joint draw in the
-                # bucketing path); independent of echo
-                if (self.rir is not None
-                        and it["speech"] is it["clean"]
-                        and rng.random() < self.p_reverb):
+                # reverb is exclusive with codec (joint draw above,
+                # matching the bucketing path); independent of echo
+                if self.rir is not None and it["use_reverb"]:
                     r_, onset, t60 = self._pick_rir(rng, t_rir)
                     rir[k, 0, : len(r_)] = r_
                     rir_onset[k] = onset
@@ -730,8 +768,6 @@ class ShardDataset:
             d = cut.duration
             if d < self.min_utt or d > self.max_utt:
                 continue
-            if self.segment and self.segment_size:
-                d = self.segment_size / self.sr
             idx = min(int((cut.duration - self.min_utt) / max(step, 1e-9)),
                       self.num_buckets - 1)
             buckets[idx].append(cut)

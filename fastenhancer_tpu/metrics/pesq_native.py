@@ -252,11 +252,6 @@ def _audible_power(ppd: np.ndarray, bands: _Bands,
     return (ppd * mask).sum(axis=1)
 
 
-def _weighted_lp(x: np.ndarray, w: np.ndarray, p: float) -> float:
-    w = w / max(w.sum(), _EPS)
-    return float((w * np.abs(x) ** p).sum() ** (1.0 / p))
-
-
 def _aggregate(d_frame: np.ndarray, weight: np.ndarray,
                block: int = 20) -> float:
     """L6 over ~320 ms blocks, then L2 over blocks (P.862 sec 10.2.5)."""

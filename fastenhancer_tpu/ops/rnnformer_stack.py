@@ -31,6 +31,7 @@ Design notes (measured on v5e, see docs/performance.md):
 from __future__ import annotations
 
 import functools
+import os
 import typing as tp
 
 import jax
@@ -259,6 +260,11 @@ def _stack_kernel(num_blocks: int, num_heads: int, batch: int, freq: int,
 # Entry point
 # ---------------------------------------------------------------------------
 
+# tuning knobs, resolved once at import (see _auto_batch_tile docstring)
+_TILE_ROWS_LIMIT = int(os.environ.get("FE_STACK_TILE_ROWS", 4096))
+_TILE_BYTES_LIMIT = int(os.environ.get("FE_STACK_TILE_BYTES", 24 << 20))
+
+
 def _auto_batch_tile(b: int, f: int, num_heads: int) -> int:
     """Largest divisor of b whose per-program working set fits comfortably
     in VMEM. Two limits (env-overridable for tuning):
@@ -269,11 +275,12 @@ def _auto_batch_tile(b: int, f: int, num_heads: int) -> int:
       * f32 softmax intermediates (logits + exp, each [tile, f, H*f])
         <= FE_STACK_TILE_BYTES (default 24 MiB) — the dominant VMEM tenant
         for the wide (M/L) recipes.
+    Both env knobs are read at IMPORT time: this function runs at trace
+    time under jax.jit, so a post-compile env change with the same shapes
+    would otherwise be silently ignored by the jit cache.
     """
-    import os
-
-    limit_rows = int(os.environ.get("FE_STACK_TILE_ROWS", 4096))
-    limit_bytes = int(os.environ.get("FE_STACK_TILE_BYTES", 24 << 20))
+    limit_rows = _TILE_ROWS_LIMIT
+    limit_bytes = _TILE_BYTES_LIMIT
     best = 1
     for tile in range(1, b + 1):
         if b % tile:
@@ -321,7 +328,10 @@ def rnnformer_stack_step(
                     ).reshape(nb, b * fp, c)
     tile = _auto_batch_tile(b, fp, num_heads) if batch_tile is None \
         else batch_tile
-    assert b % tile == 0, (b, tile)
+    if b % tile:
+        # grid = b // tile programs: a non-dividing tile would leave the
+        # tail batch rows unwritten (and an assert is stripped under -O)
+        raise ValueError(f"batch_tile {tile} does not divide batch {b}")
     kernel = functools.partial(_stack_kernel, nb, num_heads, tile, fp, c)
 
     def full(a: Array):

@@ -52,6 +52,7 @@ def _load_ref_shard():
         "librosa.filters": {"mel": lambda **kw: np.zeros((1, 1))},
         "matplotlib_stub_unused": {},
     }
+    installed = []
     for name, attrs in stubs.items():
         if name not in sys.modules:
             m = types.ModuleType(name)
@@ -59,12 +60,20 @@ def _load_ref_shard():
             for k, v in attrs.items():
                 setattr(m, k, v)
             sys.modules[name] = m
+            installed.append(name)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     try:
         return importlib.import_module("utils.data.shard_on_the_fly")
     except Exception as e:
         pytest.skip(f"reference shard module not importable: {e}")
+    finally:
+        # drop OUR stubs so later tests in the same process see the real
+        # import state (a fake `pesq` module left behind flips
+        # metrics.pesq_provider() expectations); the reference module
+        # keeps direct references to them
+        for name in installed:
+            sys.modules.pop(name, None)
 
 
 def _wav_payload(wav):
