@@ -763,6 +763,23 @@ class Model:
             plan = jax.tree.map(lambda a: a.astype(dtype), plan)
         return plan
 
+    def model_forward_fused(
+        self, variables: Params, plan: Params, spec: Array, h: Array
+    ) -> tp.Tuple[Array, Array]:
+        """model_forward (one frame, inference) with the block stack as one
+        Pallas program — the spec2spec deploy form (reference:
+        scripts/export_onnx_spec.py). spec: compressed [B, F, 1, 2];
+        h: stacked [NB, B*F', C] GRU carries. Returns (mask [B, F, 1, 2],
+        h_t stacked). Requires fold() output and build_stack_plan()."""
+        from ...ops.rnnformer_stack import rnnformer_stack_step
+
+        params, stats = variables["params"], variables["stats"]
+        x, x_res, skips, b, t, _ = self._encode(params, stats, spec, train=False)
+        y, h_t = rnnformer_stack_step(plan, x[0], h, self.rf.num_heads)
+        mask = self._decode(params, stats, stats, y[None], x_res, skips, b, t,
+                            spec.shape[1], train=False)
+        return mask, h_t
+
     def streaming_step_fused(
         self, variables: Params, plan: Params, carry: Params, wav_hop: Array
     ) -> tp.Tuple[Params, Array]:
@@ -770,17 +787,11 @@ class Model:
         — measured 163 -> 116 µs/frame for the 3-block stack at 256 streams
         on v5e (slope-timed; docs/performance.md). Math matches
         streaming_step on folded variables (tested)."""
-        from ...ops.rnnformer_stack import rnnformer_stack_step
-
-        params, stats = variables["params"], variables["stats"]
         spec, stft_c = self._stream_front(carry, wav_hop)
-        x, x_res, skips, b, t, _ = self._encode(params, stats, spec, train=False)
         h = carry["h"]                     # stacked [NB, B*F', C]
         if isinstance(h, (list, tuple)):
             h = jnp.stack(h)
-        y, h_t = rnnformer_stack_step(plan, x[0], h, self.rf.num_heads)
-        mask = self._decode(params, stats, stats, y[None], x_res, skips, b, t,
-                            spec.shape[1], train=False)
+        mask, h_t = self.model_forward_fused(variables, plan, spec, h)
         return self._stream_back(spec, mask, carry, stft_c, h_t)
 
     def build_frame_plan(self, variables: Params, dtype=None) -> Params:

@@ -81,24 +81,34 @@ def main():
     hop = model.hop_size
     b = args.streams
 
-    if args.spec2spec and args.fused:
-        ap.error("--spec2spec --fused is not implemented; the fused kernel "
-                 "lives in the wav2wav step (drop one of the flags)")
-
     if args.spec2spec:
-        from fastenhancer_tpu.functional import compress, uncompress
-
         n_freq_in = model.stft_cfg.n_freq - 1  # fastenhancer drops last bin
 
-        def step(variables, carry, spec):
-            # spec [B, F, 1, 2] compressed; returns enhanced compressed spec
-            params, stats = variables["params"], variables["stats"]
-            mask, h_t, _ = model.model_forward(params, stats, spec,
-                                               h0=carry["h"], train=False)
-            spec_hat = model.complex_mask_mul(spec, mask)
-            return dict(carry, h=h_t), spec_hat
+        if args.fused:
+            if args.no_fold:
+                ap.error("--fused requires folded variables (drop --no-fold)")
+            plan = model.build_stack_plan(variables)
 
-        carry0 = model.init_streaming_carry(b)
+            def step(variables, carry, spec):
+                # spec [B, F, 1, 2] compressed, block stack as one Pallas
+                # program (the paper's RTF form + the fused kernel)
+                mask, h_t = model.model_forward_fused(variables, plan, spec,
+                                                      carry["h"])
+                spec_hat = model.complex_mask_mul(spec, mask)
+                return dict(carry, h=h_t), spec_hat
+
+            carry0 = model.init_streaming_carry(b)
+            carry0["h"] = jnp.stack(carry0["h"])  # fused step: stacked h
+        else:
+            def step(variables, carry, spec):
+                # spec [B, F, 1, 2] compressed; returns enhanced compressed spec
+                params, stats = variables["params"], variables["stats"]
+                mask, h_t, _ = model.model_forward(params, stats, spec,
+                                                   h0=carry["h"], train=False)
+                spec_hat = model.complex_mask_mul(spec, mask)
+                return dict(carry, h=h_t), spec_hat
+
+            carry0 = model.init_streaming_carry(b)
         feed = jnp.zeros((b, n_freq_in, 1, 2), jnp.float32)
     elif args.fused:
         if args.no_fold:

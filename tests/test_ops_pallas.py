@@ -90,6 +90,32 @@ def test_stream_fused_matches_stream():
                                atol=2e-5)
 
 
+def test_spec2spec_fused_matches_unfused():
+    """The --spec2spec --fused export form: model_forward_fused iterated
+    with carry feedback == model_forward, frame by frame."""
+    model = _tiny_fastenhancer()
+    folded = model.fold(model.init(jax.random.PRNGKey(2)))
+    plan = model.build_stack_plan(folded)
+    params, stats = folded["params"], folded["stats"]
+    rng = np.random.default_rng(2)
+    b = 3
+    h_list = [model._block_carry_init(b, jnp.float32)
+              for _ in range(model.num_blocks)]
+    h = jnp.stack(h_list)
+    n_freq = model.stft_cfg.n_freq - 1
+    for _ in range(4):
+        spec = jnp.asarray(rng.standard_normal((b, n_freq, 1, 2)) * 0.3,
+                           jnp.float32)
+        mask_ref, h_list, _ = model.model_forward(params, stats, spec,
+                                                  h0=h_list, train=False)
+        mask_fused, h = model.model_forward_fused(folded, plan, spec, h)
+        np.testing.assert_allclose(np.asarray(mask_fused),
+                                   np.asarray(mask_ref), atol=2e-5)
+        for i in range(model.num_blocks):
+            np.testing.assert_allclose(np.asarray(h[i]),
+                                       np.asarray(h_list[i]), atol=2e-5)
+
+
 def test_stream_fused_sharded_matches_single_device():
     """Multi-chip fused serving (VERDICT r1 #7): the fused Pallas kernel
     under shard_map over an 8-device dp mesh == single-device fused ==
