@@ -192,7 +192,8 @@ def test_export_runner_roundtrip(smoke_run, corpus, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     wav_in = str(corpus / "noisy" / "f00.wav")
     arts = {}
-    for mode, extra in (("w2w", []), ("s2s", ["--spec2spec"])):
+    for mode, extra in (("w2w", []), ("s2s", ["--spec2spec"]),
+                        ("s2sf", ["--spec2spec", "--fused"])):
         art = str(tmp_path / f"{mode}.jaxexport")
         r = subprocess.run(
             [sys.executable, "-m", "scripts.export", "-n", "smoke",
@@ -220,6 +221,15 @@ def test_export_runner_roundtrip(smoke_run, corpus, tmp_path):
     err = x - y
     snr = 10 * np.log10((x ** 2).mean() / max(float((err ** 2).mean()), 1e-20))
     assert snr > 40, f"wav2wav vs spec2spec disagree: {snr:.1f} dB"
+
+    # --spec2spec --fused must match the unfused spec2spec artifact
+    # near-exactly (same graph with the block stack as one Pallas program)
+    f, _ = read_wav(arts["s2sf"])
+    n = min(len(b), len(f))
+    err = b[:n] - f[:n]
+    snr = 10 * np.log10(max(float((b[:n] ** 2).mean()), 1e-20)
+                        / max(float((err ** 2).mean()), 1e-20))
+    assert snr > 80, f"fused vs unfused spec2spec disagree: {snr:.1f} dB"
 
 
 def test_enhance_cli(smoke_run, corpus, tmp_path):
