@@ -45,6 +45,12 @@ from .audio_io import _read_riff
 
 SHARD_DEBUG = bool(os.environ.get("SHARD_DEBUG"))
 
+# Parallel fields that share the recording's crop cursor and therefore must
+# be sample-aligned with it (reference shard_on_the_fly.py:941-957). `rir`
+# is deliberately absent: RIRs are stored at their natural (shorter) length
+# (reference scripts/data/shard_test.py:150-158).
+SAMPLE_ALIGNED_FIELDS = frozenset({"farend", "echo"})
+
 
 def _put_until_stop(q: "queue.Queue", item, stop: "threading.Event",
                     timeout: float = 0.25) -> bool:
@@ -224,13 +230,19 @@ class ShardSource:
                     if e_stem.split("_" + f)[0] != stem and e_stem != stem:
                         raise ValueError(
                             f"misaligned shard field {f}: {e_stem} vs {stem}")
-                    if len(e_audio) != len(audio):
-                        # parallel fields must be sample-aligned with the
+                    if (f in SAMPLE_ALIGNED_FIELDS
+                            and len(e_audio) != len(audio)):
+                        # farend/echo must be sample-aligned with the
                         # recording: a length drift would silently shift
                         # the shared farend/echo crop cursor for every
                         # later item (the reference concatenates both
                         # streams and reuses one cursor, shard_on_the_fly
-                        # :941-957, same design here)
+                        # :941-957, same design here). Other fields (rir)
+                        # are stored at their natural length — the
+                        # reference's test-set builder writes RIRs far
+                        # shorter than the recording
+                        # (shard_test.py:150-158) and its reader never
+                        # length-checks them.
                         raise ValueError(
                             f"shard field {f} length {len(e_audio)} != "
                             f"recording length {len(audio)} for cut {stem}")

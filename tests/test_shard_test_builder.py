@@ -178,6 +178,82 @@ def test_shard_test_noise_rir(tmp_path):
     assert len(list(src.iter_cuts(seed=0))) == 3
 
 
+def test_shard_test_rir_build_read_mix(tmp_path):
+    """Regression (round-3): the test-set builder stores `rir` at its
+    NATURAL length (shorter than the recording, reference
+    scripts/data/shard_test.py:150-158) — the reader must accept it (the
+    round-2 blanket sample-alignment check rejected it) and the mixer must
+    consume it end-to-end: build -> read -> pad-to-buffer -> DynamicMixer,
+    with the mixed output equal to a direct convolution of the sources."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastenhancer_tpu.data.shard_mixer import (
+        DynamicMixer, batch_convolve_rir)
+    from scripts.data.shard_test import main
+
+    sp = _speech_corpus(tmp_path)
+    nz = _noise_corpus(tmp_path)
+    rd, csv, rir_src = _rir_setup(tmp_path)
+    cfg = {
+        "fs": SR, "silence_length": 0.1,
+        "activity_threshold_relative": -25.0,
+        "input": {
+            "nearend_speech": {"base_dir": str(sp), "extension": ".wav"},
+            "nearend_noise": {"pool": {
+                "directories_to_include": [str(nz)], "extension": "",
+                "probability": 1.0}},
+            "rir": {"pool": {"csv": str(csv), "base_dir": str(rd),
+                             "prob": 1.0}},
+        },
+        "nearend": {"speech_dbFS": [-25.0, -25.0],
+                    "noise": {"snr": [10, 10, 1]},
+                    "rir": {"prob": 1.0}},
+    }
+    cfg_path = tmp_path / "se_test.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    main(["-n", "rirset", "-c", str(cfg_path),
+          "-s", str(tmp_path / "shards"), "-j", "1"])
+
+    src = ShardSource(str(tmp_path / "shards" / "rirset"),
+                      fields=("recording", "rir", "noise"))
+    cuts = sorted(src.iter_cuts(seed=0), key=lambda c: int(c.id))
+    assert len(cuts) == 3
+    assert all(len(c.extras["rir"]) == len(rir_src) != len(c.audio)
+               for c in cuts)
+
+    # assemble a batch exactly like ShardDataset does: rir padded into a
+    # fixed 0.5 s buffer (shard.py _iter_segment_batches)
+    t = min(len(c.audio) for c in cuts)
+    t_rir = SR // 2
+    b = len(cuts)
+    speech = np.stack([c.audio[:t] for c in cuts])[:, None]
+    rir = np.zeros((b, 1, t_rir), np.float32)
+    onset = np.zeros(b, np.int64)
+    t60 = np.zeros(b, np.float32)
+    for i, c in enumerate(cuts):
+        r = c.extras["rir"][:t_rir]
+        rir[i, 0, : len(r)] = r
+        onset[i] = c.custom["rir_onset"]
+        t60[i] = c.custom["rir_t60"]
+    mixer = DynamicMixer(speech_dbFS=(-20.0, -20.0), snr=(40.0, 40.0),
+                         sampling_rate=SR, rir_target_type="early_rir")
+    out = mixer(jax.random.PRNGKey(0), jnp.asarray(speech),
+                speech_clean=jnp.asarray(speech),
+                noise=jnp.zeros_like(jnp.asarray(speech)),
+                rir=jnp.asarray(rir), rir_onset=jnp.asarray(onset),
+                rir_t60=jnp.asarray(t60))
+    # the mixed input is the reverberant speech rescaled to -20 dBFS:
+    # correlation with the direct convolution must be ~1
+    direct = np.asarray(batch_convolve_rir(jnp.asarray(speech),
+                                           jnp.asarray(rir)))
+    got = np.asarray(out["speech"])
+    for i in range(b):
+        a, d = got[i, 0], direct[i, 0]
+        corr = np.dot(a, d) / (np.linalg.norm(a) * np.linalg.norm(d))
+        assert corr > 0.9999
+
+
 def _aec_setup(tmp_path):
     base = tmp_path / "aec"
     (base / "farend_speech").mkdir(parents=True)
