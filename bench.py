@@ -36,10 +36,11 @@ import numpy as np
 
 def main():
     from __graft_entry__ import FLAGSHIP_KWARGS
-    from fastenhancer_tpu.models.fastenhancer.default import Model
+    from fastenhancer_tpu.models import get_model
 
-    # BENCH_CONFIG=configs/fastenhancer_48khz/b.yaml benches any recipe's
-    # model (name defaults to FastEnhancer_B when unset)
+    # BENCH_CONFIG=configs/<group>/<size>.yaml benches any recipe's model —
+    # every streaming family in the zoo (fastenhancer variants, bsrnn,
+    # fspen, lisennet); defaults to FastEnhancer_B when unset
     cfg_path = os.environ.get("BENCH_CONFIG")
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
@@ -61,16 +62,26 @@ def main():
     sr = 16_000
     label = "FastEnhancer_B"
     kwargs = dict(FLAGSHIP_KWARGS)
+    model_name = "fastenhancer.default"
     if cfg_path:
         import yaml
 
         cfg = yaml.safe_load(open(cfg_path))
-        assert cfg["model"] == "fastenhancer.default", cfg["model"]
+        model_name = cfg["model"]
         kwargs = cfg["model_kwargs"]
         sr = cfg["data"]["sampling_rate"]
         label = (f"{os.path.basename(os.path.dirname(cfg_path))}/"
                  f"{os.path.splitext(os.path.basename(cfg_path))[0]}")
-    model = Model(**kwargs, stft_method=stft_method)
+    if model_name == "fastenhancer.noncausal":
+        raise SystemExit("fastenhancer.noncausal is offline-only (no "
+                         "streaming graph) — the reference publishes no "
+                         "RTF for it either")
+    try:
+        model = get_model(model_name, **kwargs, stft_method=stft_method)
+        stft_used = stft_method
+    except TypeError:  # baselines take no stft_method kwarg (fft form)
+        model = get_model(model_name, **kwargs)
+        stft_used = "fft"
     variables = model.init(jax.random.PRNGKey(0))
     variables = model.fold(variables)  # deploy-time reparam removal
     if dtype != jnp.float32:
@@ -100,6 +111,8 @@ def main():
     # Multi-chip runs it per shard under shard_map. BENCH_FUSED=0 reverts
     # to the pure-XLA scan body; any compile failure falls back to XLA.
     use_fused = (os.environ.get("BENCH_FUSED", "1") == "1" and chunk == 1
+                 and model_name in ("fastenhancer.default",
+                                    "fastenhancer.conv_stft")
                  and not model.rf.post_act)
     fused_plan = model.build_stack_plan(variables) if use_fused else None
     mesh = None
@@ -113,11 +126,16 @@ def main():
             fused_plan = replicate(fused_plan, mesh)
         wav = shard_batch(wav, mesh)
 
+    # baselines' stream() takes no unroll/fused_plan kwargs
+    fe_family = model_name.startswith("fastenhancer.")
+
     def make_bench_fn(plan):
         def stream(v, p, w):
-            out = model.stream(v, w, chunk_frames=chunk, unroll=unroll,
-                               fused_plan=p)
-            return out
+            if fe_family:
+                return model.stream(v, w, chunk_frames=chunk, unroll=unroll,
+                                    fused_plan=p)
+            assert p is None
+            return model.stream(v, w, chunk_frames=chunk)
 
         if mesh is not None:
             # per-shard execution keeps the fused Pallas kernel usable
@@ -162,7 +180,7 @@ def main():
         "metric": f"{label} per-stream streaming RTF "
                   f"({streams} concurrent {sr//1000}kHz streams, {platform}, "
                   f"{jnp.dtype(dtype).name}, chunk={chunk}, "
-                  f"stft={stft_method}"
+                  f"stft={stft_used}"
                   f"{', fused-stack' if use_fused else ''})",
         "value": round(rtf, 7),
         "unit": "RTF wall/(audio*streams), lower=better",

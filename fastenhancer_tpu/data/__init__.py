@@ -28,6 +28,10 @@ def get_dataset_dataloader(
     world = jax.process_count()
     if rank is None:
         rank = jax.process_index()
+    if mode == "infer":
+        # showcase inference runs on rank 0 over ALL files (reference
+        # builds the infer loader on rank 0 only, train.py:84-95)
+        world, rank = 1, 0
     dataset_name = hps["data"]["dataset"]
     if not isinstance(dataset_name, str):
         dataset_name = dataset_name[mode]
@@ -61,6 +65,9 @@ def get_dataset_dataloader(
         sec = getattr(hps, "infer", {})
         batch_size = getattr(sec, "batch_size", 1)
         num_workers = getattr(sec, "num_workers", 0)
+        # same 16 x hop bucketing as pesq mode: infer_epoch then compiles a
+        # bounded program set instead of one per unique file length
+        pad_multiple = 16 * getattr(hps["model_kwargs"], "hop_size", 256)
     elif mode == "pesq":
         sec = getattr(hps, "pesq", {})
         batch_size = getattr(sec, "batch_size", batch_size)

@@ -77,8 +77,14 @@ class DataLoader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            total = n // self.batch_size
+        else:
+            total = (n + self.batch_size - 1) // self.batch_size
+        _, w = self.process_stride
+        if w > 1:
+            # per-process count after wrap-padding to equal strides
+            return (total + w - 1) // w
+        return total
 
     def _index_batches(self) -> tp.List[tp.List[int]]:
         n = len(self.dataset)
@@ -90,7 +96,14 @@ class DataLoader:
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
         r, w = self.process_stride
-        return batches[r::w] if w > 1 else batches
+        if w > 1:
+            # wrap-pad so every process serves the SAME number of batches
+            # (DistributedSampler padding semantics) — unequal counts would
+            # deadlock the per-step global collectives
+            if len(batches) % w:
+                batches = batches + batches[: w - len(batches) % w]
+            return batches[r::w]
+        return batches
 
     def __iter__(self) -> tp.Iterator[Batch]:
         batches = self._index_batches()

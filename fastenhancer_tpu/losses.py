@@ -25,8 +25,13 @@ from .functional import STFTConfig, compressed_stft
 Array = jax.Array
 
 
-def si_snr_loss(wav_hat: Array, wav: Array, eps: float = 1e-7) -> Array:
-    """Negative scale-invariant SNR in dB (reference: losses.py:27-37).
+def _item_mean(x: Array) -> Array:
+    """Mean over all non-batch axes -> [B]."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+def si_snr_items(wav_hat: Array, wav: Array, eps: float = 1e-7) -> Array:
+    """Per-item negative SI-SNR in dB, shape [B] (reference: losses.py:27-37).
 
     Matches the reference exactly, including the eps placement inside the
     log10 and the denominator.
@@ -39,25 +44,42 @@ def si_snr_loss(wav_hat: Array, wav: Array, eps: float = 1e-7) -> Array:
     target_norm = jnp.sum(s_target * s_target, axis=-1, keepdims=True)
     noise_norm = jnp.sum(e_noise * e_noise, axis=-1, keepdims=True)
     snr = jnp.log10(target_norm / (noise_norm + eps) + eps)
-    return -10.0 * jnp.mean(snr)
+    return -10.0 * _item_mean(snr)
+
+
+def si_snr_loss(wav_hat: Array, wav: Array, eps: float = 1e-7) -> Array:
+    return jnp.mean(si_snr_items(wav_hat, wav, eps))
+
+
+def wav_l1_items(wav_hat: Array, wav: Array) -> Array:
+    return _item_mean(jnp.abs(wav_hat - wav))
 
 
 def wav_l1_loss(wav_hat: Array, wav: Array) -> Array:
-    return jnp.mean(jnp.abs(wav_hat - wav))
+    return jnp.mean(wav_l1_items(wav_hat, wav))
 
 
-def mag_mse_loss(spec_hat: Array, spec: Array) -> Array:
-    """MSE over magnitudes of [..., 2] re/im specs (reference: losses.py:132-139).
+def mag_mse_items(spec_hat: Array, spec: Array) -> Array:
+    """Per-item MSE over magnitudes of [..., 2] re/im specs (reference:
+    losses.py:132-139).
 
     sqrt floored (normal-range) so exactly-zero bins (zero-padded batch rows) don't
     produce inf gradients; forward change is below float32 resolution."""
     m1 = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(spec_hat), -1), 1e-30))
     m2 = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(spec), -1), 1e-30))
-    return jnp.mean(jnp.square(m1 - m2))
+    return _item_mean(jnp.square(m1 - m2))
+
+
+def mag_mse_loss(spec_hat: Array, spec: Array) -> Array:
+    return jnp.mean(mag_mse_items(spec_hat, spec))
+
+
+def complex_mse_items(spec_hat: Array, spec: Array) -> Array:
+    return _item_mean(jnp.square(spec_hat - spec))
 
 
 def complex_mse_loss(spec_hat: Array, spec: Array) -> Array:
-    return jnp.mean(jnp.square(spec_hat - spec))
+    return jnp.mean(complex_mse_items(spec_hat, spec))
 
 
 def _anti_wrap(x: Array) -> Array:
@@ -65,15 +87,19 @@ def _anti_wrap(x: Array) -> Array:
     return jnp.abs(x - jnp.round(x / two_pi) * two_pi)
 
 
-def phase_loss(spec_hat: Array, spec: Array) -> Array:
-    """Anti-wrapping instantaneous-phase + group-delay + IAF losses
+def phase_items(spec_hat: Array, spec: Array) -> Array:
+    """Per-item anti-wrapping instantaneous-phase + group-delay + IAF losses
     (reference: losses.py:106-129). Specs are [B, F, T, 2]."""
     ph_hat = jnp.arctan2(spec_hat[..., 1], spec_hat[..., 0])
     ph = jnp.arctan2(spec[..., 1], spec[..., 0])
-    ip = jnp.mean(_anti_wrap(ph - ph_hat))
-    gd = jnp.mean(_anti_wrap(jnp.diff(ph, axis=1) - jnp.diff(ph_hat, axis=1)))
-    iaf = jnp.mean(_anti_wrap(jnp.diff(ph, axis=2) - jnp.diff(ph_hat, axis=2)))
+    ip = _item_mean(_anti_wrap(ph - ph_hat))
+    gd = _item_mean(_anti_wrap(jnp.diff(ph, axis=1) - jnp.diff(ph_hat, axis=1)))
+    iaf = _item_mean(_anti_wrap(jnp.diff(ph, axis=2) - jnp.diff(ph_hat, axis=2)))
     return ip + gd + iaf
+
+
+def phase_loss(spec_hat: Array, spec: Array) -> Array:
+    return jnp.mean(phase_items(spec_hat, spec))
 
 
 class ConsistencyLoss:
@@ -94,33 +120,36 @@ class ConsistencyLoss:
         )
         self.compression = compression
 
-    def __call__(self, wav_hat: Array, wav: Array) -> Array:
+    def items(self, wav_hat: Array, wav: Array) -> Array:
         spec_hat = compressed_stft(wav_hat, self.cfg, self.compression)
         spec = compressed_stft(wav, self.cfg, self.compression)
-        return jnp.mean(jnp.square(spec_hat - spec))
+        return _item_mean(jnp.square(spec_hat - spec))
+
+    def __call__(self, wav_hat: Array, wav: Array) -> Array:
+        return jnp.mean(self.items(wav_hat, wav))
 
 
-# name -> (input_type, fn factory). input_type: "wav" | "spec".
+# name -> (input_type, per-item fn returning [B]). input_type: "wav" | "spec".
 # (reference registry: losses.py:165-173)
 def _make(name: str, kwargs: tp.Dict[str, tp.Any]) -> tp.Tuple[str, tp.Callable]:
     if name == "si_snr":
         eps = kwargs.get("eps", 1e-7)
-        return "wav", lambda a, b: si_snr_loss(a, b, eps)
+        return "wav", lambda a, b: si_snr_items(a, b, eps)
     if name == "wav_l1":
-        return "wav", wav_l1_loss
+        return "wav", wav_l1_items
     if name == "mag_mse":
-        return "spec", mag_mse_loss
+        return "spec", mag_mse_items
     if name == "complex_mse":
-        return "spec", complex_mse_loss
+        return "spec", complex_mse_items
     if name == "phase":
-        return "spec", phase_loss
+        return "spec", phase_items
     if name == "consistency":
-        return "wav", ConsistencyLoss(**kwargs)
+        return "wav", ConsistencyLoss(**kwargs).items
     if name == "pesq":
         from .pesq_loss import PESQLoss  # heavy init; import lazily
 
         fn = PESQLoss(sample_rate=kwargs.get("sample_rate", 16_000))
-        return "wav", lambda a, b: fn(b, a)  # torch_pesq arg order: (ref, deg)
+        return "wav", lambda a, b: fn.items(b, a)  # torch_pesq order: (ref, deg)
     raise ValueError(f"unknown loss: {name}")
 
 
@@ -144,15 +173,41 @@ class Losses:
     # -- jit-safe ------------------------------------------------------------
 
     def calculate(
-        self, wav_hat: Array, spec_hat: Array, wav: Array, spec: Array
+        self, wav_hat: Array, spec_hat: Array, wav: Array, spec: Array,
+        row_mask: tp.Optional[Array] = None,
     ) -> tp.Tuple[Array, tp.Dict[str, Array]]:
+        """row_mask [B] (1 real, 0 zero-padded row) restricts the batch mean
+        to real items — the reference never feeds padded rows into a loss
+        (its per-rank DataLoaders yield real items only; ragged eval is
+        masked per item, reference scripts/metrics_ns.py:124-129)."""
+        if row_mask is not None:
+            w = row_mask.astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            # substitute padded (zero) rows with row 0 — which is always
+            # real, pads are appended (parallel.pad_batch_to) — so every
+            # per-item loss stays finite-valued AND finite-gradiented
+            # (arctan2(0,0) in the phase loss has a NaN derivative; NaN*0
+            # would poison the masked mean's backward). The outer mask then
+            # zeroes both the value and the gradient of substituted rows.
+            mb = w > 0
+
+            def _safe(x):
+                m = mb.reshape((-1,) + (1,) * (x.ndim - 1))
+                return jnp.where(m, x, jax.lax.stop_gradient(x[:1]))
+
+            wav_hat, wav = _safe(wav_hat), _safe(wav)
+            spec_hat, spec = _safe(spec_hat), _safe(spec)
         total = jnp.zeros((), wav.dtype)
         out: tp.Dict[str, Array] = {}
         for name, (input_type, fn) in self.fns.items():
             if input_type == "wav":
-                val = fn(wav_hat, wav)
+                items = fn(wav_hat, wav)
             else:
-                val = fn(spec_hat, spec)
+                items = fn(spec_hat, spec)
+            if row_mask is None:
+                val = jnp.mean(items)
+            else:
+                val = jnp.sum(items * w) / denom
             out[name] = val
             total = total + self.weights[name] * val
         return total, out

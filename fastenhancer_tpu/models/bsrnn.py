@@ -44,6 +44,7 @@ SUBBANDS_512 = [2, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3,
 
 
 class Model:
+    _row_mask: tp.Optional[Array] = None
     def __init__(
         self,
         num_channels: int = 16,
@@ -136,7 +137,10 @@ class Model:
             x = band.transpose(0, 1, 3, 2).reshape(b, sub * 2, t)
             x = x.transpose(0, 2, 1)                     # [B, T, sub*2]
             if s.get("norm") is not None:  # folded models have no norms
-                x, bn_s = fnn.batch_norm(p["norm"], s["norm"], x, train=train)
+                x, bn_s = fnn.batch_norm(
+                    p["norm"], s["norm"], x, train=train,
+                    weight=None if self._row_mask is None
+                    else self._row_mask[:, None, None])
                 new_stats.append({"norm": bn_s})
             else:
                 new_stats.append({})
@@ -158,8 +162,10 @@ class Model:
             outs = {}
             for which in ("mask", "residual"):
                 if s.get(which, {}).get("norm") is not None:
-                    y, bn_s = fnn.batch_norm(p[which]["norm"],
-                                             s[which]["norm"], xb, train=train)
+                    y, bn_s = fnn.batch_norm(
+                        p[which]["norm"], s[which]["norm"], xb, train=train,
+                        weight=None if self._row_mask is None
+                        else self._row_mask[:, None, None])
                 else:
                     y, bn_s = xb, None
                 y = fnn.conv1d_cl(p[which]["conv1"], y)
@@ -189,13 +195,16 @@ class Model:
         if train:
             new_stats["band_split"] = bs_stats
         t, b, f, c = x.shape
+        bw_tb = (None if self._row_mask is None
+                 else self._row_mask[None, :, None, None])
 
         carry_out = []
         for i, (p, s) in enumerate(zip(params["layers"], stats["layers"])):
             skip = x
             if s.get("norm_time") is not None:
-                y, bn_s = fnn.batch_norm(p["norm_time"], s["norm_time"], x,
-                                         train=train)
+                y, bn_s = fnn.batch_norm(
+                    p["norm_time"], s["norm_time"], x, train=train,
+                    weight=bw_tb)
             else:
                 y, bn_s = x, None
             y = y.reshape(t, b * f, c)
@@ -209,8 +218,9 @@ class Model:
 
             skip = x
             if s.get("norm_freq") is not None:
-                y, bn_s = fnn.batch_norm(p["norm_freq"], s["norm_freq"], x,
-                                         train=train)
+                y, bn_s = fnn.batch_norm(
+                    p["norm_freq"], s["norm_freq"], x, train=train,
+                    weight=bw_tb)
             else:
                 y, bn_s = x, None
             y = y.reshape(t * b, f, c).swapaxes(0, 1)    # [F, T*B, C]
@@ -236,15 +246,22 @@ class Model:
     def stft(self, wav: Array) -> Array:
         return compressed_stft(wav, self.stft_cfg, self.input_compression)
 
-    def forward(self, variables: Params, wav: Array, train: bool = False
+    def forward(self, variables: Params, wav: Array, train: bool = False,
+                row_mask: tp.Optional[Array] = None,
                 ) -> tp.Tuple[Array, Array, Params]:
+        """row_mask [B] excludes zero-padded batch rows from train-mode BN
+        statistics (see nn.batch_norm)."""
         params, stats = variables["params"], variables["stats"]
-        spec = compressed_stft(wav, self.stft_cfg, self.input_compression)
-        spec_hat, _, new_stats = self.model_forward(params, stats, spec,
-                                                    train=train)
-        wav_hat = compressed_istft(spec_hat, self.stft_cfg,
-                                   self.input_compression,
-                                   length=wav.shape[-1])
+        self._row_mask = row_mask if train else None
+        try:
+            spec = compressed_stft(wav, self.stft_cfg, self.input_compression)
+            spec_hat, _, new_stats = self.model_forward(params, stats, spec,
+                                                        train=train)
+            wav_hat = compressed_istft(spec_hat, self.stft_cfg,
+                                       self.input_compression,
+                                       length=wav.shape[-1])
+        finally:
+            self._row_mask = None
         return wav_hat, spec_hat, new_stats
 
     # -- streaming -----------------------------------------------------------------

@@ -276,6 +276,10 @@ class Model:
         # jax.checkpoint so activation memory is O(1 block) instead of
         # O(depth) — set by the training wrapper, ignored outside training
         self.remat = False
+        # row inclusion mask [B] for train-mode BatchNorm statistics, set
+        # for the duration of forward(..., row_mask=...) (trace-time only;
+        # see forward). None = all rows real.
+        self._row_mask: tp.Optional[Array] = None
         assert kernel_size[0] % stride == 0
         assert (kernel_size[0] - stride) % 2 == 0
 
@@ -413,12 +417,36 @@ class Model:
     def _conv_weight(self, p: Params) -> Array:
         return fnn.maybe_wn_weight(p, "weight")
 
+    # -- row-mask -> BN-weight views (zero-padded-row masking) ----------------
+
+    def _bn_w_bt(self, b: int, t: int) -> tp.Optional[Array]:
+        """[B*T, 1, 1] weight for [B*T, F, C] layouts (b-major fold)."""
+        m = self._row_mask
+        if m is None:
+            return None
+        return jnp.repeat(m.astype(jnp.float32), t)[:, None, None]
+
+    def _bn_w_tb(self) -> tp.Optional[Array]:
+        """[1, B, 1, 1] weight for [T, B, F, C] layouts."""
+        m = self._row_mask
+        if m is None:
+            return None
+        return m.astype(jnp.float32)[None, :, None, None]
+
+    def _bn_w_b(self, ndim: int) -> tp.Optional[Array]:
+        """[B, 1, ...] weight for batch-leading layouts."""
+        m = self._row_mask
+        if m is None:
+            return None
+        return m.astype(jnp.float32).reshape(m.shape[0], *([1] * (ndim - 1)))
+
     def _conv_bn_act(
         self, p: Params, s: tp.Optional[Params], x: Array, *,
         stride: int = 1, padding: int = 0, train: bool, act: bool = True,
-        eps: float = 1e-5,
+        eps: float = 1e-5, bw: tp.Optional[Array] = None,
     ) -> tp.Tuple[Array, tp.Optional[Params]]:
         """conv (+BN if present) (+activation). x: [N, F, Cin] channels-last.
+        bw: optional per-N BN-stat inclusion weight ([N,1,1]-broadcastable).
 
         With self.remat set (train.remat), the unit is wrapped in
         jax.checkpoint so backward recomputes the conv/BN/act intermediates
@@ -430,12 +458,14 @@ class Model:
             fn = jax.checkpoint(functools.partial(
                 self._conv_bn_act_impl, stride=stride, padding=padding,
                 train=True, act=act, eps=eps))
-            return fn(p, s, x)
-        return self._conv_bn_act_impl(p, s, x, stride=stride, padding=padding,
-                                      train=train, act=act, eps=eps)
+            return fn(p, s, x, bw)
+        return self._conv_bn_act_impl(p, s, x, bw, stride=stride,
+                                      padding=padding, train=train, act=act,
+                                      eps=eps)
 
     def _conv_bn_act_impl(
-        self, p: Params, s: tp.Optional[Params], x: Array, *,
+        self, p: Params, s: tp.Optional[Params], x: Array,
+        bw: tp.Optional[Array] = None, *,
         stride: int = 1, padding: int = 0, train: bool, act: bool = True,
         eps: float = 1e-5,
     ) -> tp.Tuple[Array, tp.Optional[Params]]:
@@ -444,7 +474,8 @@ class Model:
         y = fnn.conv1d_cl(conv, x, stride=stride, padding=padding)
         new_s = None
         if "bn" in p and p["bn"] is not None:
-            y, new_bn = fnn.batch_norm(p["bn"], s["bn"], y, train=train, eps=eps)
+            y, new_bn = fnn.batch_norm(p["bn"], s["bn"], y, train=train,
+                                       eps=eps, weight=bw)
             new_s = {"bn": new_bn}
         elif "gn" in p and p["gn"] is not None:
             y = fnn.layer_norm_fc(p["gn"], y, eps=eps)
@@ -518,10 +549,12 @@ class Model:
 
         # [B, F, T, 2] -> [B*T, F, 2] channels-last over freq
         x = spec.transpose(0, 2, 1, 3).reshape(b * t, f_in, 2)
+        bw = self._bn_w_bt(b, t) if train else None
 
         # Encoder PreNet (strided reshape conv, stride folded into channels)
         x = self._strided_reshape(x)
-        x, s = self._conv_bn_act(params["enc_pre"], stats["enc_pre"], x, train=train)
+        x, s = self._conv_bn_act(params["enc_pre"], stats["enc_pre"], x,
+                                 train=train, bw=bw)
         if s is not None:
             new_stats["enc_pre"] = s
         skips = [x]
@@ -529,7 +562,8 @@ class Model:
         for i, (p, st) in enumerate(zip(params["encoder"], stats["encoder"])):
             x_in = x
             k = cfg.kernel_size[1 + i]
-            x, s = self._conv_bn_act(p, st, x, padding=(k - 1) // 2, train=train)
+            x, s = self._conv_bn_act(p, st, x, padding=(k - 1) // 2,
+                                     train=train, bw=bw)
             if s is not None:
                 new_stats["encoder"][i] = s
             skips.append(x)
@@ -541,7 +575,7 @@ class Model:
         w_pre = params["rf_pre"]["lin"]["weight"]
         x = jnp.einsum("oF,nFc->noc", w_pre, x)
         x, s = self._conv_bn_act(params["rf_pre"], stats["rf_pre"], x,
-                                 train=train, act=False)
+                                 train=train, act=False, bw=bw)
         if s is not None:
             new_stats["rf_pre"] = s
 
@@ -561,10 +595,11 @@ class Model:
         # [T, B, F', C'] -> [B*T, F', C']
         cc = x.shape[-1]
         x = x.transpose(1, 0, 2, 3).reshape(b * t, self.block_freq, cc)
+        bw = self._bn_w_bt(b, t) if train else None
         w_post = params["rf_post"]["lin"]["weight"]
         x = jnp.einsum("oF,nFc->noc", w_post, x)
         x, s = self._conv_bn_act(params["rf_post"], stats["rf_post"], x,
-                                 train=train, act=False)
+                                 train=train, act=False, bw=bw)
         if s is not None:
             new_stats["rf_post"] = s
         if cfg.resnet:
@@ -578,11 +613,11 @@ class Model:
             unit2 = {"conv": p["conv2"], "bn": p.get("bn2"), "gn": p.get("gn2")}
             y, s1 = self._conv_bn_act(
                 unit1, {"bn": st["bn1"]} if st and "bn1" in st else None,
-                x, train=train)
+                x, train=train, bw=bw)
             k = cfg.kernel_size[len(cfg.kernel_size) - 1 - i]
             y, s2 = self._conv_bn_act(
                 unit2, {"bn": st["bn2"]} if st and "bn2" in st else None,
-                y, padding=(k - 1) // 2, train=train)
+                y, padding=(k - 1) // 2, train=train, bw=bw)
             if s1 is not None:
                 new_stats["decoder"][i] = {"bn1": s1["bn"], "bn2": s2["bn"]}
             x = y
@@ -591,7 +626,8 @@ class Model:
 
         # Decoder PostNet
         x = jnp.concatenate([x, skips.pop()], axis=-1)
-        x, s = self._conv_bn_act(params["dec_post"], stats["dec_post"], x, train=train)
+        x, s = self._conv_bn_act(params["dec_post"], stats["dec_post"], x,
+                                 train=train, bw=bw)
         if s is not None:
             new_stats["dec_post"] = s
         x = self._scaled_convt(params["dec_post"]["convt"], x)  # [B*T, F, 2]
@@ -622,12 +658,14 @@ class Model:
         rf = self.rf
         t, b, f, c = x.shape
         new_s = dict(s) if s else None
+        bw = self._bn_w_tb() if train else None
 
         # --- time GRU ---
         x_in = x
         y = x
         if s is not None and "rnn_pre_norm" in s:
-            y, st = fnn.batch_norm(None, s["rnn_pre_norm"], y, train=train, eps=rf.eps)
+            y, st = fnn.batch_norm(None, s["rnn_pre_norm"], y, train=train,
+                                   eps=rf.eps, weight=bw)
             new_s["rnn_pre_norm"] = st
         y = y.reshape(t, b * f, c)
         if h0 is None:
@@ -637,7 +675,7 @@ class Model:
         y = fnn.linear(p["rnn_fc"], y)
         if "rnn_post_norm" in p and p["rnn_post_norm"] is not None:
             y, st = fnn.batch_norm(p["rnn_post_norm"], s["rnn_post_norm"], y,
-                                   train=train, eps=rf.eps)
+                                   train=train, eps=rf.eps, weight=bw)
             new_s["rnn_post_norm"] = st
         if rf.post_act:
             y = self.act(y)
@@ -651,7 +689,8 @@ class Model:
         x_in = x
         y = x
         if s is not None and "attn_pre_norm" in s:
-            y, st = fnn.batch_norm(None, s["attn_pre_norm"], y, train=train, eps=rf.eps)
+            y, st = fnn.batch_norm(None, s["attn_pre_norm"], y, train=train,
+                                   eps=rf.eps, weight=bw)
             new_s["attn_pre_norm"] = st
         y = y.reshape(t * b, f, c)
         y = fnn.attention(p["attn"], y, rf.num_heads)
@@ -659,7 +698,7 @@ class Model:
         y = fnn.linear(p["attn_fc"], y)
         if "attn_post_norm" in p and p["attn_post_norm"] is not None:
             y, st = fnn.batch_norm(p["attn_post_norm"], s["attn_post_norm"], y,
-                                   train=train, eps=rf.eps)
+                                   train=train, eps=rf.eps, weight=bw)
             new_s["attn_post_norm"] = st
         if rf.post_act:
             y = self.act(y)
@@ -675,18 +714,33 @@ class Model:
         return jnp.stack([re, im], axis=-1)
 
     def forward(
-        self, variables: Params, wav: Array, train: bool = False
+        self, variables: Params, wav: Array, train: bool = False,
+        row_mask: tp.Optional[Array] = None,
     ) -> tp.Tuple[Array, Array, Params]:
         """wav [B, T] -> (wav_hat [B, T], spec_hat compressed [B, F, T', 2],
-        new_stats). Reference: models/.../model.py:728-735."""
+        new_stats). Reference: models/.../model.py:728-735.
+
+        row_mask [B] (1 real, 0 padded) excludes zero-padded batch rows from
+        train-mode BN statistics (the reference never pads rows; see
+        nn.batch_norm). Held on self for the duration of the trace so the
+        internal BN call sites — which see folded [B*T,...] / [T,B,...]
+        layouts — can derive their broadcast without threading a parameter
+        through every override.
+        """
         params, stats = variables["params"], variables["stats"]
-        spec = compressed_stft(
-            wav, self.stft_cfg, self.input_compression, discard_last_freq_bin=True)
-        mask, _, new_stats = self.model_forward(params, stats, spec, train=train)
-        spec_hat = self.complex_mask_mul(spec, mask)
-        wav_hat = compressed_istft(
-            spec_hat, self.stft_cfg, self.input_compression,
-            discard_last_freq_bin=True, length=wav.shape[-1])
+        self._row_mask = row_mask if train else None
+        try:
+            spec = compressed_stft(
+                wav, self.stft_cfg, self.input_compression,
+                discard_last_freq_bin=True)
+            mask, _, new_stats = self.model_forward(params, stats, spec,
+                                                    train=train)
+            spec_hat = self.complex_mask_mul(spec, mask)
+            wav_hat = compressed_istft(
+                spec_hat, self.stft_cfg, self.input_compression,
+                discard_last_freq_bin=True, length=wav.shape[-1])
+        finally:
+            self._row_mask = None
         return wav_hat, spec_hat, new_stats
 
     def stft(self, wav: Array) -> Array:
@@ -924,8 +978,11 @@ class Model:
             w = plain(conv)
             std = jnp.sqrt(bn_s["var"] + eps)
             g = bn_p["weight"] / std
+            # scale along Cout (leading weight axis) whatever the conv rank
+            # (time_kernel's encoder/decoder convs are [O, I, k_t, k_f])
+            g_w = g.reshape(g.shape[0], *([1] * (w.ndim - 1)))
             return {
-                "weight": w * g[:, None, None],
+                "weight": w * g_w,
                 "bias": bn_p["bias"] - bn_s["mean"] * g,
             }
 

@@ -57,6 +57,7 @@ class Model(DefaultModel):
         normalize_final_conv: bool = False,
         pre_post_init: tp.Optional[str] = None,
         sampling_rate: int = 16_000,
+        stft_method: str = "fft",
     ):
         self.dp = DPRNNConfig(**(dprnn_kwargs or {}))
         super().__init__(
@@ -70,7 +71,8 @@ class Model(DefaultModel):
             stft_normalized=stft_normalized, mask=mask,
             input_compression=input_compression, weight_norm=weight_norm,
             normalize_final_conv=normalize_final_conv,
-            pre_post_init=pre_post_init, sampling_rate=sampling_rate)
+            pre_post_init=pre_post_init, sampling_rate=sampling_rate,
+            stft_method=stft_method)
         assert final_scale in (True, False, "exp")
         self.final_scale = final_scale
         self.tname_prepost = "dprnn"
@@ -133,13 +135,14 @@ class Model(DefaultModel):
         dp = self.dp
         t, b, f, c = x.shape
         new_s = dict(s) if s else None
+        bw = self._bn_w_tb() if train else None
 
         # --- time GRU ---
         x_in = x
         y = x
         if s is not None and "trnn_pre_norm" in s:
             y, st = fnn.batch_norm(None, s["trnn_pre_norm"], y, train=train,
-                                   eps=dp.eps)
+                                   eps=dp.eps, weight=bw)
             new_s["trnn_pre_norm"] = st
         y = y.reshape(t, b * f, c)
         if h0 is None:
@@ -149,7 +152,7 @@ class Model(DefaultModel):
         y = fnn.linear(p["trnn_fc"], y)
         if p.get("trnn_post_norm") is not None:
             y, st = fnn.batch_norm(p["trnn_post_norm"], s["trnn_post_norm"], y,
-                                   train=train, eps=dp.eps)
+                                   train=train, eps=dp.eps, weight=bw)
             new_s["trnn_post_norm"] = st
         x = y + x_in
 
@@ -158,7 +161,7 @@ class Model(DefaultModel):
         y = x
         if s is not None and "frnn_pre_norm" in s:
             y, st = fnn.batch_norm(None, s["frnn_pre_norm"], y, train=train,
-                                   eps=dp.eps)
+                                   eps=dp.eps, weight=bw)
             new_s["frnn_pre_norm"] = st
         # scan over FREQ: [T,B,F,C] -> [F, T*B, C]
         y = y.reshape(t * b, f, c).swapaxes(0, 1)
@@ -168,7 +171,7 @@ class Model(DefaultModel):
         y = fnn.linear(p["frnn_fc"], y)
         if p.get("frnn_post_norm") is not None:
             y, st = fnn.batch_norm(p["frnn_post_norm"], s["frnn_post_norm"], y,
-                                   train=train, eps=dp.eps)
+                                   train=train, eps=dp.eps, weight=bw)
             new_s["frnn_post_norm"] = st
         x = y + x_in
         return x, h_t, new_s

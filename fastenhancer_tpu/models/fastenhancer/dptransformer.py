@@ -79,6 +79,7 @@ class Model(DefaultModel):
         normalize_final_conv: bool = False,
         pre_post_init: tp.Optional[str] = None,
         sampling_rate: int = 16_000,
+        stft_method: str = "fft",
     ):
         self.dpt = DPTConfig(**(dpt_kwargs or {}))
         super().__init__(
@@ -94,7 +95,8 @@ class Model(DefaultModel):
             stft_normalized=stft_normalized, mask=mask,
             input_compression=input_compression, weight_norm=weight_norm,
             normalize_final_conv=normalize_final_conv,
-            pre_post_init=pre_post_init, sampling_rate=sampling_rate)
+            pre_post_init=pre_post_init, sampling_rate=sampling_rate,
+            stft_method=stft_method)
         assert final_scale in (True, False, "exp")
         self.final_scale = final_scale
         self.final_scale_init = final_scale_init
@@ -202,6 +204,7 @@ class Model(DefaultModel):
         cfg = self.dpt
         t, b, f, c = x.shape
         new_s = dict(s) if s else None
+        bw = self._bn_w_tb() if train else None
         pe_time = self._pe_time  # threaded via model_forward wrapper
 
         # --- causal time attention ---
@@ -209,7 +212,7 @@ class Model(DefaultModel):
         y = x
         if s is not None and "time_pre_norm" in s:
             y, st = fnn.batch_norm(None, s["time_pre_norm"], y, train=train,
-                                   eps=cfg.eps)
+                                   eps=cfg.eps, weight=bw)
             new_s["time_pre_norm"] = st
         # [T,B,F,C] -> [B*F, T, C]
         y = y.transpose(1, 2, 0, 3).reshape(b * f, t, c)
@@ -218,7 +221,7 @@ class Model(DefaultModel):
         y = fnn.linear(p["time_fc"], y)
         if p.get("time_post_norm") is not None:
             y, st = fnn.batch_norm(p["time_post_norm"], s["time_post_norm"], y,
-                                   train=train, eps=cfg.eps)
+                                   train=train, eps=cfg.eps, weight=bw)
             new_s["time_post_norm"] = st
         if cfg.post_act:
             y = self.act(y)
@@ -232,7 +235,7 @@ class Model(DefaultModel):
         y = x
         if s is not None and "freq_pre_norm" in s:
             y, st = fnn.batch_norm(None, s["freq_pre_norm"], y, train=train,
-                                   eps=cfg.eps)
+                                   eps=cfg.eps, weight=bw)
             new_s["freq_pre_norm"] = st
         y = y.reshape(t * b, f, c)
         y = fnn.attention(p["freq_attn"], y, cfg.num_heads)
@@ -240,7 +243,7 @@ class Model(DefaultModel):
         y = fnn.linear(p["freq_fc"], y)
         if p.get("freq_post_norm") is not None:
             y, st = fnn.batch_norm(p["freq_post_norm"], s["freq_post_norm"], y,
-                                   train=train, eps=cfg.eps)
+                                   train=train, eps=cfg.eps, weight=bw)
             new_s["freq_post_norm"] = st
         if cfg.post_act:
             y = self.act(y)

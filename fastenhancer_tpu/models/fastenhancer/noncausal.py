@@ -97,12 +97,13 @@ class Model(DefaultModel):
         rf = self.rf
         t, b, f, c = x.shape
         new_s = dict(s) if s else None
+        bw = self._bn_w_tb() if train else None
 
         x_in = x
         y = x
         if s is not None and "rnn_pre_norm" in s:
             y, st = fnn.batch_norm(None, s["rnn_pre_norm"], y, train=train,
-                                   eps=rf.eps)
+                                   eps=rf.eps, weight=bw)
             new_s["rnn_pre_norm"] = st
         y = y.reshape(t, b * f, c)
         rnn = {d: {k: fnn.maybe_wn_weight(p["rnn"][d], k)
@@ -114,7 +115,7 @@ class Model(DefaultModel):
         y = fnn.linear(p["rnn_fc"], y)
         if p.get("rnn_post_norm") is not None:
             y, st = fnn.batch_norm(p["rnn_post_norm"], s["rnn_post_norm"], y,
-                                   train=train, eps=rf.eps)
+                                   train=train, eps=rf.eps, weight=bw)
             new_s["rnn_post_norm"] = st
         if rf.post_act:
             y = self.act(y)
@@ -127,7 +128,7 @@ class Model(DefaultModel):
         y = x
         if s is not None and "attn_pre_norm" in s:
             y, st = fnn.batch_norm(None, s["attn_pre_norm"], y, train=train,
-                                   eps=rf.eps)
+                                   eps=rf.eps, weight=bw)
             new_s["attn_pre_norm"] = st
         y = y.reshape(t * b, f, c)
         y = fnn.attention(p["attn"], y, rf.num_heads)
@@ -135,7 +136,7 @@ class Model(DefaultModel):
         y = fnn.linear(p["attn_fc"], y)
         if p.get("attn_post_norm") is not None:
             y, st = fnn.batch_norm(p["attn_post_norm"], s["attn_post_norm"], y,
-                                   train=train, eps=rf.eps)
+                                   train=train, eps=rf.eps, weight=bw)
             new_s["attn_post_norm"] = st
         if rf.post_act:
             y = self.act(y)

@@ -108,6 +108,8 @@ class Model(DefaultModel):
         k_t = self.kernel_size_time
         b, f_in, t, _ = spec.shape
         new_stats = jax.tree.map(lambda x: x, stats)
+        bw_bt = self._bn_w_bt(b, t) if train else None
+        bw_b4 = self._bn_w_b(4) if train else None
         enc_caches = None if h0 is None else h0["enc"]
         dec_caches = None if h0 is None else h0["dec"]
         block_h = None if h0 is None else h0["h"]
@@ -116,7 +118,7 @@ class Model(DefaultModel):
         x = spec.transpose(0, 2, 1, 3).reshape(b * t, f_in, 2)
         x = self._strided_reshape(x)
         x, s = self._conv_bn_act(params["enc_pre"], stats["enc_pre"], x,
-                                 train=train)
+                                 train=train, bw=bw_bt)
         if s is not None:
             new_stats["enc_pre"] = s
 
@@ -130,9 +132,11 @@ class Model(DefaultModel):
             cache = None if enc_caches is None else enc_caches[i]
             y, cache_out = causal_conv2d(p["conv"], x, cache, k_t, (k - 1) // 2)
             enc_caches_out.append(cache_out)
-            y, new_bn = fnn.batch_norm(p["bn"], st["bn"], y, train=train)
-            if train:
-                new_stats["encoder"][i] = {"bn": new_bn}
+            if p.get("bn") is not None:  # folded models have BN fused away
+                y, new_bn = fnn.batch_norm(p["bn"], st["bn"], y, train=train,
+                                           weight=bw_b4)
+                if train:
+                    new_stats["encoder"][i] = {"bn": new_bn}
             x = self.act(y)
             skips.append(x)
 
@@ -141,7 +145,7 @@ class Model(DefaultModel):
         w_pre = params["rf_pre"]["lin"]["weight"]
         x2 = jnp.einsum("oF,nFc->noc", w_pre, x2)
         x2, s = self._conv_bn_act(params["rf_pre"], stats["rf_pre"], x2,
-                                  train=train, act=False)
+                                  train=train, act=False, bw=bw_bt)
         if s is not None:
             new_stats["rf_pre"] = s
 
@@ -160,7 +164,7 @@ class Model(DefaultModel):
         w_post = params["rf_post"]["lin"]["weight"]
         x2 = jnp.einsum("oF,nFc->noc", w_post, x2)
         x2, s = self._conv_bn_act(params["rf_post"], stats["rf_post"], x2,
-                                  train=train, act=False)
+                                  train=train, act=False, bw=bw_bt)
         if s is not None:
             new_stats["rf_post"] = s
         x = x2.reshape(b, t, f_enc, cfg.channels)
@@ -171,24 +175,28 @@ class Model(DefaultModel):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             y = x.reshape(b * t, f_enc, 2 * cfg.channels)
             y, s1 = self._conv_bn_act(
-                {"conv": p["conv1"], "bn": p["bn1"]}, {"bn": st["bn1"]},
-                y, train=train)
+                {"conv": p["conv1"], "bn": p.get("bn1")},
+                {"bn": st["bn1"]} if st and "bn1" in st else None,
+                y, train=train, bw=bw_bt)
             y = y.reshape(b, t, f_enc, cfg.channels)
             k = cfg.kernel_size[len(cfg.kernel_size) - 1 - i]
             cache = None if dec_caches is None else dec_caches[i]
             y, cache_out = causal_conv2d(p["conv2"], y, cache, k_t,
                                          (k - 1) // 2)
             dec_caches_out.append(cache_out)
-            y, new_bn2 = fnn.batch_norm(p["bn2"], st["bn2"], y, train=train)
-            if train:
-                new_stats["decoder"][i] = {"bn1": s1["bn"], "bn2": new_bn2}
+            if p.get("bn2") is not None:  # folded models have BN fused away
+                y, new_bn2 = fnn.batch_norm(p["bn2"], st["bn2"], y,
+                                            train=train, weight=bw_b4)
+                if train:
+                    new_stats["decoder"][i] = {"bn1": s1["bn"],
+                                               "bn2": new_bn2}
             x = self.act(y)
 
         # Decoder PostNet (per-frame 1-D)
         x = jnp.concatenate([x, skips.pop()], axis=-1)
         x = x.reshape(b * t, f_enc, 2 * cfg.channels)
         x, s = self._conv_bn_act(params["dec_post"], stats["dec_post"], x,
-                                 train=train)
+                                 train=train, bw=bw_bt)
         if s is not None:
             new_stats["dec_post"] = s
         x = self._scaled_convt(params["dec_post"]["convt"], x)

@@ -66,6 +66,7 @@ def _elu(x):
 
 
 class Model:
+    _row_mask: tp.Optional[Array] = None
     def __init__(
         self,
         channels: tp.Sequence[int] = (4, 16, 32),
@@ -234,6 +235,9 @@ class Model:
         dpe = self.dpe
         b, f0, t, _ = spec.shape
         new_stats = jax.tree.map(lambda x: x, stats)
+        bw = (None if self._row_mask is None else
+              jnp.repeat(self._row_mask.astype(jnp.float32),
+                         t)[:, None, None])
 
         x = spec.transpose(0, 2, 1, 3).reshape(b * t, f0, 2)  # [BT, F, 2]
         mag = jnp.linalg.norm(x, axis=2)  # [BT, F]
@@ -246,7 +250,8 @@ class Model:
             k, st = self.kernel_size[i], self.stride[i]
             x = fnn.conv1d_cl(p["conv"], x, stride=st, padding=(k - st) // 2)
             if s.get("bn") is not None:  # folded models have BN fused away
-                x, bn_s = fnn.batch_norm(p["bn"], s["bn"], x, train=train)
+                x, bn_s = fnn.batch_norm(p["bn"], s["bn"], x, train=train,
+                                         weight=bw)
                 if train:
                     new_stats["fullband_encoder"][i] = {"bn": bn_s}
             x = _elu(x)
@@ -291,7 +296,8 @@ class Model:
             x = fnn.conv_transpose1d_cl(p["convt"], x, stride=st, padding=pad,
                                         output_padding=1 if ci == 0 else 0)
             if p.get("bn") is not None and s.get("bn") is not None:
-                x, bn_s = fnn.batch_norm(p["bn"], s["bn"], x, train=train)
+                x, bn_s = fnn.batch_norm(p["bn"], s["bn"], x, train=train,
+                                         weight=bw)
                 if train:
                     new_stats["fullband_decoder"][i] = {"bn": bn_s}
                 x = _elu(x)
@@ -312,14 +318,21 @@ class Model:
     def stft(self, wav: Array) -> Array:
         return compressed_stft(wav, self.stft_cfg, self.input_compression)
 
-    def forward(self, variables: Params, wav: Array, train: bool = False):
+    def forward(self, variables: Params, wav: Array, train: bool = False,
+                row_mask: tp.Optional[Array] = None):
+        """row_mask [B] excludes zero-padded batch rows from train-mode BN
+        statistics (see nn.batch_norm)."""
         params, stats = variables["params"], variables["stats"]
-        spec = compressed_stft(wav, self.stft_cfg, self.input_compression)
-        spec_hat, _, new_stats = self.model_forward(params, stats, spec,
-                                                    train=train)
-        wav_hat = compressed_istft(spec_hat, self.stft_cfg,
-                                   self.input_compression,
-                                   length=wav.shape[-1])
+        self._row_mask = row_mask if train else None
+        try:
+            spec = compressed_stft(wav, self.stft_cfg, self.input_compression)
+            spec_hat, _, new_stats = self.model_forward(params, stats, spec,
+                                                        train=train)
+            wav_hat = compressed_istft(spec_hat, self.stft_cfg,
+                                       self.input_compression,
+                                       length=wav.shape[-1])
+        finally:
+            self._row_mask = None
         return wav_hat, spec_hat, new_stats
 
     # -- streaming ----------------------------------------------------------------------

@@ -355,7 +355,12 @@ class Model:
     def stft(self, wav: Array) -> Array:
         return compressed_stft(wav, self.stft_cfg, self.input_compression)
 
-    def forward(self, variables: Params, wav: Array, train: bool = False):
+    def forward(self, variables: Params, wav: Array, train: bool = False,
+                row_mask: tp.Optional[Array] = None):
+        # row_mask accepted for API uniformity; LiSenNet has no cross-row
+        # (batch-stat) ops — all norms are per-item LayerNorms — so padded
+        # rows cannot leak into real rows.
+        del row_mask
         params, stats = variables["params"], variables["stats"]
         spec = compressed_stft(wav, self.stft_cfg, self.input_compression)
         spec_hat, _, _ = self.model_forward(params, stats, spec, train=train)

@@ -153,6 +153,7 @@ def batch_norm(
     train: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    weight: tp.Optional[Array] = None,
 ) -> tp.Tuple[Array, Params]:
     """Normalize over all axes except the last (channel) axis.
 
@@ -162,6 +163,11 @@ def batch_norm(
 
     params: {"weight","bias"} or None (affine=False).
     stats:  {"mean","var"} running statistics (torch: unbiased var stored).
+    weight: optional per-position inclusion weight broadcastable to
+            x.shape[:-1] + (1,) — 0 excludes an element from the train-mode
+            batch statistics (used to mask batch rows zero-padded for even
+            device sharding; the reference never pads rows, so masked stats
+            ARE the reference semantics). None = include everything.
     Returns (y, new_stats); new_stats == stats when train=False.
 
     Statistics and normalization always run in f32 regardless of the
@@ -173,10 +179,18 @@ def batch_norm(
     xf = x.astype(jnp.float32)
     if train:
         red = tuple(range(x.ndim - 1))
-        mean = jnp.mean(xf, axis=red)
-        var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)  # biased
-        n = x.size // c
-        unbiased = var * (n / max(n - 1, 1))
+        if weight is None:
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            n = x.size // c
+            unbiased = var * (n / max(n - 1, 1))
+        else:
+            w = jnp.broadcast_to(weight.astype(jnp.float32),
+                                 x.shape[:-1] + (1,))
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(xf * w, axis=red) / n
+            var = jnp.sum(jnp.square(xf) * w, axis=red) / n - jnp.square(mean)
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
         new_stats = {
             "mean": (1 - momentum) * stats["mean"] + momentum * mean,
             "var": (1 - momentum) * stats["var"] + momentum * unbiased,

@@ -21,6 +21,11 @@ import typing as tp
 class Scheduler:
     """Base: fixed LRs."""
 
+    # True for schedulers whose per-epoch step() consumes a validation
+    # metric (ReduceLROnPlateau); the wrapper then defers the step to the
+    # end of valid_epoch and passes the total valid loss
+    requires_metric: bool = False
+
     def __init__(self, base_lrs: tp.Sequence[float]):
         self.base_lrs = list(base_lrs)
         self.lrs = list(base_lrs)
@@ -165,6 +170,8 @@ class CosineAnnealingWarmupRestarts(Scheduler):
 class ReduceLROnPlateau(Scheduler):
     """Plateau scheduler with the reference's `initial_patience` patch
     (reference: optim/lr_scheduler.py:118-293)."""
+
+    requires_metric = True
 
     def __init__(self, base_lrs, mode: str = "min", factor: float = 0.1,
                  patience: int = 10, initial_patience: int = 0,

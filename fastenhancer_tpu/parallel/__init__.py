@@ -44,14 +44,42 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: tp.Any, mesh: Mesh) -> tp.Any:
-    """device_put every array in the batch pytree with its batch axis sharded."""
+    """Place every array in the batch pytree with its batch axis sharded.
+
+    Single process: `batch` is the global batch, device_put splits it over
+    local devices. Multi process: `batch` is this process's LOCAL rows (the
+    loader serves a disjoint stride per process) and the global array is
+    assembled row-block per process — process p owns global rows
+    [p*local : (p+1)*local]. Local row counts must match across processes
+    (the wrapper pads to a common count first)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree: tp.Any, mesh: Mesh) -> tp.Any:
+    """Replicate a (process-identical) pytree over the mesh. Multi-process:
+    leaves are host-fetched first — device_put accepts numpy inputs for
+    cross-process shardings, treating the value as identical on every
+    process (true here: same seed => same init; same checkpoint)."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        tree = jax.tree.map(np.asarray, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_rows(arr: tp.Any) -> np.ndarray:
+    """Host-fetch this process's contiguous row block of a batch-sharded
+    global array (the inverse of shard_batch's multi-process assembly).
+    Single process: the whole array."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def shard_map_stream(fn: tp.Callable, mesh: Mesh,

@@ -80,7 +80,11 @@ class PESQLoss:
         return power @ self.bark.T
 
     def __call__(self, ref: Array, deg: Array) -> Array:
-        """ref/deg: [B, T] waveforms (same length)."""
+        """ref/deg: [B, T] waveforms (same length). Batch-mean scalar."""
+        return jnp.mean(self.items(ref, deg))
+
+    def items(self, ref: Array, deg: Array) -> Array:
+        """Per-item loss, shape [B] (for masked batch means)."""
         # level alignment: scale both to a common active power
         def norm(x):
             p = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
@@ -144,4 +148,4 @@ class PESQLoss:
 
         mos = 4.5 - 0.1 * d_sym - 0.0309 * d_asym
         loss = (4.5 - mos) / 3.6  # 0 (perfect) .. ~1.6 (both terms clipped)
-        return self.factor * jnp.mean(loss)
+        return self.factor * loss

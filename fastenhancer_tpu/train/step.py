@@ -61,7 +61,8 @@ def make_train_step(
     """
     clipper = make_clipper(clip_grad, clip_grad_kwargs)
 
-    def loss_fn(params: Params, stats: Params, clean: Array, noisy: Array):
+    def loss_fn(params: Params, stats: Params, clean: Array, noisy: Array,
+                row_mask: tp.Optional[Array]):
         if compute_dtype is not None:
             fwd_params = cast_tree(params, compute_dtype)
             noisy_c = noisy.astype(compute_dtype)
@@ -69,19 +70,26 @@ def make_train_step(
         else:
             fwd_params, noisy_c, clean_c = params, noisy, clean
         wav_hat, spec_hat, new_stats = model.forward(
-            {"params": fwd_params, "stats": stats}, noisy_c, train=True)
+            {"params": fwd_params, "stats": stats}, noisy_c, train=True,
+            row_mask=row_mask)
         spec_clean = model.stft(clean_c)
         # losses in f32 regardless of compute dtype (reference keeps loss
         # sums in f32 and forces PESQ to f32, losses.py:160-161)
         total, per_loss = losses.calculate(
             wav_hat.astype(jnp.float32), spec_hat.astype(jnp.float32),
-            clean.astype(jnp.float32), spec_clean.astype(jnp.float32))
+            clean.astype(jnp.float32), spec_clean.astype(jnp.float32),
+            row_mask=row_mask)
         new_stats = cast_tree(new_stats, jnp.float32)
         return total, (per_loss, new_stats)
 
     def train_step(state: Params, batch: Params, lrs: Array):
         variables = state["variables"]
         clean, noisy = batch["clean"], batch["noisy"]
+        # rows zero-padded for even device sharding are excluded from the
+        # losses and the train-mode BN statistics (the reference never pads
+        # batch rows; one zero row in a batch of 4 would otherwise move
+        # si_snr from -20 dB to +2.5)
+        row_mask = batch.get("row_mask")
         # truncate to a hop multiple (reference: wrappers/ns.py:147-149)
         hop = model.hop_size
         t = (clean.shape[-1] // hop) * hop
@@ -89,7 +97,7 @@ def make_train_step(
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, (per_loss, new_stats)), grads = grad_fn(
-            variables["params"], variables["stats"], clean, noisy)
+            variables["params"], variables["stats"], clean, noisy, row_mask)
         grads = cast_tree(grads, jnp.float32)
         grads, gnorm = clipper(grads)
         params, opt_state = optimizer.update(
@@ -121,7 +129,8 @@ def make_valid_step(model, losses: Losses, compute_dtype=None):
 
     def valid_step(variables: Params, batch: Params):
         clean, noisy = batch["clean"], batch["noisy"]
-        hop = model.hop_size
+        row_mask = batch.get("row_mask")  # eval BN uses running stats; only
+        hop = model.hop_size              # the loss means need masking
         t = (clean.shape[-1] // hop) * hop
         clean, noisy = clean[..., :t], noisy[..., :t]
         params = variables["params"]
@@ -133,7 +142,8 @@ def make_valid_step(model, losses: Losses, compute_dtype=None):
         spec_clean = model.stft(clean)
         total, per_loss = losses.calculate(
             wav_hat.astype(jnp.float32), spec_hat.astype(jnp.float32),
-            clean.astype(jnp.float32), spec_clean.astype(jnp.float32))
+            clean.astype(jnp.float32), spec_clean.astype(jnp.float32),
+            row_mask=row_mask)
         return {"loss/total": total,
                 **{f"loss/{k}": v for k, v in per_loss.items()}}
 

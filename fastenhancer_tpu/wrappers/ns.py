@@ -117,7 +117,7 @@ class ModelWrapper:
 
     def set_keys(self) -> None:
         self.keys = ["clean", "noisy"]
-        self.infer_keys = self.keys
+        self.infer_keys = self.keys + ["wav_len"]
 
     def get_lr(self) -> float:
         return self.scheduler.lrs[0] if self.scheduler else 0.0
@@ -129,13 +129,62 @@ class ModelWrapper:
 
     def _device_batch(self, batch: tp.Mapping[str, np.ndarray],
                       keys: tp.Sequence[str]):
-        """Trim to hop multiple, pad batch dim to device multiple, shard."""
+        """Trim to hop multiple, pad batch dim to device multiple, shard.
+
+        Adds "row_mask" [B] f32 (1 real, 0 padded) so the jitted steps can
+        exclude the zero-padded rows from losses and train-mode BN stats
+        (the reference never feeds padded rows: its per-rank DataLoaders
+        yield real items only)."""
         arrs = {k: batch[k] for k in keys if k in batch}
-        t = min(a.shape[-1] for a in arrs.values())
-        t = (t // self.hop_size) * self.hop_size
+        t_raw = min(a.shape[-1] for a in arrs.values())
+        b = next(iter(arrs.values())).shape[0]
+        if jax.process_count() > 1:
+            # hop-floor AFTER the cross-host max so no host drops samples
+            # another host will keep (see _device_batch_multihost)
+            arrs["row_mask"] = np.ones(b, np.float32)
+            return self._device_batch_multihost(arrs, b, t_raw)
+        t = (t_raw // self.hop_size) * self.hop_size
         arrs = {k: a[..., :t] for k, a in arrs.items()}
+        arrs["row_mask"] = np.ones(b, np.float32)
         padded, real_b = pad_batch_to(arrs, self.n_devices)
         return shard_batch(padded, self.mesh), real_b
+
+    def _device_batch_multihost(self, arrs, b: int, t: int):
+        """Assemble one GLOBAL batch from per-process local batches.
+
+        Each process serves a disjoint batch stride (reference:
+        DistributedSampler, utils/data/__init__.py:79-81), so the global
+        step-k batch is the row-concat of every process's local batch. XLA
+        needs one consistent global shape: processes agree per step — via
+        one small host allgather — on the common time length (MAX across
+        hosts, zero-padded up: identical to single-host collate's
+        pad-to-batch-max, so a W-process run at batch B computes the exact
+        same global batch as a 1-process run at W*B) and the common local
+        row count (max, padded with masked zero rows)."""
+        from jax.experimental import multihost_utils
+
+        world = jax.process_count()
+        n_local = max(self.n_devices // world, 1)
+        dims = np.asarray(multihost_utils.process_allgather(
+            np.asarray([b, t], np.int64))).reshape(world, 2)
+        t_c = (int(dims[:, 1].max()) // self.hop_size) * self.hop_size
+        rows = -(-int(dims[:, 0].max()) // n_local) * n_local
+
+        out = {}
+        for k, a in arrs.items():
+            a = np.asarray(a)
+            widths = [(0, 0)] * a.ndim
+            if k != "row_mask":
+                if a.shape[-1] > t_c:
+                    a = a[..., :t_c]
+                elif a.shape[-1] < t_c:
+                    widths[-1] = (0, t_c - a.shape[-1])
+            if a.shape[0] < rows:
+                widths[0] = (0, rows - a.shape[0])
+            if any(wd != (0, 0) for wd in widths):
+                a = np.pad(a, widths)
+            out[k] = a
+        return shard_batch(out, self.mesh), b
 
     # -- epochs ------------------------------------------------------------------
 
@@ -175,7 +224,12 @@ class ModelWrapper:
             self.profiler.close()
         if verbose():
             clear_current_line()
-        self.scheduler.step()
+        if not self.scheduler.requires_metric:
+            self.scheduler.step()
+        # else: ReduceLROnPlateau steps at the end of valid_epoch with the
+        # total valid loss (the reference calls step() metric-less at
+        # wrappers/ns.py:182, which its torch scheduler silently ignores;
+        # here the plateau scheduler is actually driven)
         summary["scalars"] = self.loss.reduce()
         if self.plot_param_and_grad:
             from ..utils.summarize import plot_param_and_grad
@@ -201,6 +255,12 @@ class ModelWrapper:
             if self.test and idx >= 10:
                 break
         summary = {"scalars": self._merge_across_hosts(self.loss.reduce())}
+        if (self.train_mode and self.scheduler is not None
+                and self.scheduler.requires_metric):
+            total = sum(self.loss.weights[k.split("/", 1)[1]] * v
+                        for k, v in summary["scalars"].items()
+                        if k.split("/", 1)[1] in self.loss.weights)
+            self.scheduler.step(total)
         if calculate_metrics and self.metrics is not None and self.pesq_loader:
             self.calculate_metrics(self.pesq_loader)
             summary["scalars"].update(self._merge_across_hosts(
@@ -227,11 +287,15 @@ class ModelWrapper:
     def calculate_metrics(self, dataloader) -> None:
         """Enhance the eval set and submit PESQ/STOI jobs
         (reference: wrappers/ns.py:223-244)."""
+        from ..parallel import local_rows
+
         for idx, batch in enumerate(dataloader, start=1):
             dev_batch, real_b = self._device_batch(batch, ("clean", "noisy"))
-            wav_hat = np.asarray(
+            # multihost: fetch only this process's row block; each process
+            # submits its own items and retrieve() host-merges the means
+            wav_hat = local_rows(
                 self.infer_fn(self.state["variables"], dev_batch["noisy"]))
-            clean = np.asarray(dev_batch["clean"])
+            clean = local_rows(dev_batch["clean"])
             wav_len = batch.get("wav_len")
             if wav_len is not None:
                 wav_len = np.minimum(np.asarray(wav_len),
@@ -248,12 +312,25 @@ class ModelWrapper:
                                          "scalars": {}}
         cfg = STFTConfig(n_fft=1024, hop_size=256, win_size=1024)
         sisdrs = []
+        variables = self.state["variables"]
+        if jax.process_count() > 1:
+            # showcase inference is rank-0-local compute; globally-sharded
+            # variables cannot mix with host-local inputs under plain jit
+            variables = jax.tree.map(np.asarray, variables)
         for i, batch in enumerate(dataloader):
             noisy = batch["noisy"]
             clean = batch["clean"]
             t = (noisy.shape[-1] // self.hop_size) * self.hop_size
             wav_hat = np.asarray(self.infer_fn(
-                self.state["variables"], jnp.asarray(noisy[..., :t])))
+                variables, jnp.asarray(noisy[..., :t])))
+            # the loader bucket-pads file lengths (bounded compile set);
+            # trim the padding tail back off the showcase outputs
+            wl = batch.get("wav_len")
+            if wl is not None:
+                n = min(int(wl[0]), t)
+                noisy, clean, wav_hat = (noisy[..., :n], clean[..., :n],
+                                         wav_hat[..., :n])
+                t = (n // self.hop_size) * self.hop_size
             name = batch.get("filename", [f"{i:02d}"])[0]
             if self.epoch <= getattr(self.hps.infer, "interval", 20):
                 summary["audios"][f"noisy/{name}"] = noisy[0]

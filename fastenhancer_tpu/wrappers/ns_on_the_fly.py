@@ -38,7 +38,7 @@ class ModelWrapper(BaseModelWrapper):
         # activates the full path)
         if self.hps.data.get("reverb_prob", 0) > 0:
             self.keys = self.keys + ["rir"]
-        self.infer_keys = ["clean", "noise", "noisy"]
+        self.infer_keys = ["clean", "noise", "noisy", "wav_len"]
 
     def _device_batch(self, batch: tp.Mapping[str, np.ndarray],
                       keys: tp.Sequence[str]):
@@ -55,6 +55,7 @@ class ModelWrapper(BaseModelWrapper):
 
         arrs = {k: (a if k == "rir" else a[..., :t])
                 for k, a in arrs.items()}
+        arrs["row_mask"] = np.ones(arrs["clean"].shape[0], np.float32)
         padded, real_b = pad_batch_to(arrs, self.n_devices)
         dev = shard_batch(padded, self.mesh)
 
@@ -68,4 +69,5 @@ class ModelWrapper(BaseModelWrapper):
                                                       self._lpf_rng)
             clean = self.dynamic_lpf(clean, kernels)
             noisy = self.dynamic_lpf(noisy, kernels)
-        return {"clean": clean, "noisy": noisy}, real_b
+        return {"clean": clean, "noisy": noisy,
+                "row_mask": dev["row_mask"]}, real_b

@@ -42,7 +42,7 @@ class ModelWrapper(BaseModelWrapper):
         # shards (reference wrappers/ns_shard.py:34, consumed at
         # train.py:87 via getattr(wrapper, "val_keys", wrapper.keys))
         self.val_keys = ["clean", "noisy"]
-        self.infer_keys = ["clean", "noisy"]
+        self.infer_keys = ["clean", "noisy", "wav_len"]
 
     def _mix_to_device(self, batch) -> tp.Tuple[tp.Dict[str, jnp.ndarray], int]:
         """ShardBatch -> mixed {clean, noisy} on device."""
@@ -60,6 +60,7 @@ class ModelWrapper(BaseModelWrapper):
         for k in ("speech", "speech_clean", "noise", "echo"):
             if k in arrs:
                 arrs[k] = arrs[k][..., :t]
+        arrs["row_mask"] = np.ones(arrs["speech"].shape[0], np.float32)
         padded, real_b = pad_batch_to(arrs, self.n_devices)
         dev = shard_batch(padded, self.mesh)
         self._mix_key, sub = jax.random.split(self._mix_key)
@@ -68,7 +69,8 @@ class ModelWrapper(BaseModelWrapper):
             dev.get("rir"), dev.get("rir_onset"), dev.get("rir_t60"),
             echo=dev.get("echo"), is_real=dev.get("is_real"))
         return {"clean": mixed["speech_clean"][:, 0],
-                "noisy": mixed["speech"][:, 0]}, real_b
+                "noisy": mixed["speech"][:, 0],
+                "row_mask": dev["row_mask"]}, real_b
 
     def train_epoch(self, dataloader) -> tp.Dict[str, tp.Any]:
         self.loss.initialize()
@@ -120,5 +122,6 @@ class ModelWrapper(BaseModelWrapper):
             clear_current_line()
             print(f"epoch {self.epoch} timing: load {t_load:.1f}s "
                   f"mix+step {t_step:.1f}s")
-        self.scheduler.step()
+        if not self.scheduler.requires_metric:
+            self.scheduler.step()  # else: valid_epoch steps with the metric
         return {"scalars": self.loss.reduce()}

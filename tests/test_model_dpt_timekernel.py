@@ -163,3 +163,34 @@ def test_remat_grads_match(name, kwargs):
     model.remat = False
     for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+@pytest.mark.parity
+def test_time_kernel_parity_after_fold():
+    """Round-3 regression: the inherited fold used a 3-D BN-merge broadcast
+    (`g[:, None, None]`) that silently scaled time_kernel's 4-D
+    [O, I, k_t, k_f] conv weights along Cin instead of Cout (O == I in
+    every recipe, so no shape error), and the streaming path crashed on the
+    folded tree's missing "bn" keys."""
+    torch = pytest.importorskip("torch")
+    mod = _import_reference("fastenhancer.time_kernel")
+    torch.manual_seed(0)
+    tmodel = mod.Model(**TK_KWARGS)
+    tmodel.eval()
+    model = get_model("fastenhancer.time_kernel", **TK_KWARGS)
+    variables = convert_checkpoint(tmodel.state_dict(),
+                                   "fastenhancer.time_kernel", TK_KWARGS)
+    folded = model.fold(variables)
+    tmodel.remove_weight_reparameterizations()
+    wav = _rand_wav(1, 256 * 10)
+    with torch.no_grad():
+        t_wav, _ = tmodel(torch.from_numpy(wav))
+    j_wav, _, _ = model.forward(folded, jnp.asarray(wav), train=False)
+    np.testing.assert_allclose(np.asarray(j_wav), t_wav.numpy(), atol=2e-4)
+
+    # folded streaming == unfolded streaming (the bench path used to
+    # KeyError on the folded tree's missing "bn")
+    streamed_folded = model.stream(folded, jnp.asarray(wav))
+    streamed = model.stream(variables, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(streamed_folded),
+                               np.asarray(streamed), atol=2e-4)

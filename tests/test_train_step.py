@@ -206,3 +206,80 @@ def test_remat_matches_unremat():
     for a, b in zip(jax.tree.leaves(s0["opt_state"]),
                     jax.tree.leaves(s1["opt_state"])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_padded_rows_masked_out_of_losses_and_bn():
+    """Round-3 regression (VERDICT Missing #1): batch rows zero-padded for
+    even device sharding must not move losses or train-mode BN statistics.
+    loss(3 real rows) == loss(3 real + 5 padded) and the updated BN stats
+    match, on the 8-device virtual mesh (previously one zero row in a batch
+    of 4 moved si_snr from -20.0 to +2.5)."""
+    from fastenhancer_tpu.parallel import pad_batch_to
+
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(3))
+    losses = Losses({"si_snr": {"weight": 1.0},
+                     "mag_mse": {"weight": 1.0},
+                     "complex_mse": {"weight": 10.0},
+                     "wav_l1": {"weight": 1.0},
+                     "phase": {"weight": 0.1}})
+    opt = get_optimizer(model, variables["params"], HP_TRAIN)
+    lrs = jnp.asarray([2e-3] * opt.n_groups)
+    rng = np.random.default_rng(7)
+    real = _batch(rng, b=3)
+
+    def run(batch, mesh):
+        step_fn = make_train_step(model, losses, opt, donate=False)
+        state = {"variables": replicate(variables, mesh),
+                 "opt_state": replicate(opt.init(variables["params"]), mesh)}
+        return step_fn(state, shard_batch(batch, mesh), lrs)
+
+    # reference run: 3 real rows, single device, no padding/mask
+    s_ref, m_ref = run(dict(real), make_mesh(1))
+
+    # padded run: 3 real + 5 zero rows + row_mask, 8-device mesh
+    padded = dict(real)
+    padded["row_mask"] = np.ones(3, np.float32)
+    padded, real_b = pad_batch_to(padded, 8)
+    assert real_b == 3 and padded["clean"].shape[0] == 8
+    assert padded["row_mask"].sum() == 3.0
+    s_pad, m_pad = run(padded, make_mesh(8))
+
+    for k in m_ref:
+        if k == "grads":
+            continue
+        np.testing.assert_allclose(float(m_pad[k]), float(m_ref[k]),
+                                   rtol=5e-4, atol=1e-6, err_msg=k)
+
+    # BN stats (means AND vars) of every BN in the model match
+    ref_stats = jax.tree.leaves(s_ref["variables"]["stats"])
+    pad_stats = jax.tree.leaves(s_pad["variables"]["stats"])
+    assert len(ref_stats) == len(pad_stats) and len(ref_stats) > 0
+    for a, b in zip(ref_stats, pad_stats):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-6)
+
+    # updated params match too (grads flow only from real rows)
+    wa = np.asarray(s_ref["variables"]["params"]["enc_pre"]["conv"]["weight"])
+    wb = np.asarray(s_pad["variables"]["params"]["enc_pre"]["conv"]["weight"])
+    np.testing.assert_allclose(wb, wa, rtol=1e-4, atol=1e-6)
+
+
+def test_valid_step_masks_padded_rows():
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(4))
+    losses = Losses(HP_TRAIN["losses"])
+    valid_fn = make_valid_step(model, losses)
+    rng = np.random.default_rng(8)
+    real = _batch(rng, b=3)
+    out_ref = valid_fn(variables, real)
+
+    from fastenhancer_tpu.parallel import pad_batch_to
+
+    padded = dict(real)
+    padded["row_mask"] = np.ones(3, np.float32)
+    padded, _ = pad_batch_to(padded, 8)
+    out_pad = valid_fn(variables, padded)
+    for k in out_ref:
+        np.testing.assert_allclose(float(out_pad[k]), float(out_ref[k]),
+                                   rtol=5e-4, atol=1e-6, err_msg=k)

@@ -56,16 +56,13 @@ def main():
     from fastenhancer_tpu.wrappers import get_wrapper
     from fastenhancer_tpu.data import get_dataset_dataloader
 
-    hps = get_hparams(args.config, base_dir, save=True, params=args.params,
-                      force_save=args.force_save)
-
-    seed = getattr(hps.train, "seed", 1)
-    random.seed(seed)
-    np.random.seed(seed)
-
     import jax
 
     if args.coordinator:
+        # multi-host analog of the reference's torchrun launcher
+        # (reference train_torchrun.py:23-46); must run before get_hparams
+        # so only rank 0 writes the run-dir config (the reference's rank-0
+        # config save, train_torchrun.py:47)
         jax.distributed.initialize(
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
@@ -73,6 +70,13 @@ def main():
     # rank-0-only logging/checkpointing, like the reference's verbose gate +
     # rank-0 save (reference train.py:60-166, utils/verbose.py:4-7)
     is_main = jax.process_index() == 0
+
+    hps = get_hparams(args.config, base_dir, save=is_main,
+                      params=args.params, force_save=args.force_save)
+
+    seed = getattr(hps.train, "seed", 1)
+    random.seed(seed)
+    np.random.seed(seed)
     print(f"devices: {jax.devices()}")
     wrapper = get_wrapper(hps.wrapper)(hps, train=True)
     wrapper.load()  # resume if a checkpoint exists
@@ -120,10 +124,11 @@ def main():
         if is_main:
             summarize(writer_valid, epoch, sr, **summary_v)
 
-        if infer_interval and epoch % infer_interval == 0:
+        if infer_interval and epoch % infer_interval == 0 and is_main:
+            # rank-0-only showcase inference (reference: train.py:136-143
+            # builds and drives the infer loader on rank 0 alone)
             summary_i = wrapper.infer_epoch(infer_loader)
-            if is_main:
-                summarize(writer_valid, epoch, sr, **summary_i)
+            summarize(writer_valid, epoch, sr, **summary_i)
 
         if is_main and (epoch % save_interval == 0 or epoch == max_epochs
                         or wrapper.test):
