@@ -380,7 +380,7 @@ class Model:
             "istft": init_istft_carry(self.stft_cfg, batch, dtype),
             "h": {
                 "pha": jnp.zeros((batch, 1, self.n_freqs), dtype),
-                "enc": [jnp.zeros((batch, 1, 257, 3 if False else c // 4), dtype),
+                "enc": [jnp.zeros((batch, 1, 257, c // 4), dtype),
                         jnp.zeros((batch, 1, 128, c // 2), dtype),
                         jnp.zeros((batch, 1, 64, c // 4 * 3), dtype)],
                 "dpr_rnn": [jnp.zeros((batch * f, hdim), dtype)

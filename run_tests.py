@@ -20,6 +20,18 @@ import subprocess
 import sys
 import time
 
+# Files that themselves spawn subprocesses with wall-clock timeouts
+# (train.py smoke runs, multi-process launches, export roundtrips). Under
+# `-j N` the box is N-way loaded and those inner timeouts blow up flakily —
+# so the parallel phase excludes them and they run serially afterwards,
+# with the machine to themselves (VERDICT r2 Weak #6).
+SERIAL_FILES = {
+    "tests/test_data_and_training.py",
+    "tests/test_shard_pipeline.py",
+    "tests/test_serving.py",
+    "tests/test_multihost.py",
+}
+
 
 def run_file(path: str, extra: list, retries: int = 1) -> tuple:
     cmd = [sys.executable, "-m", "pytest", path, "-q", *extra]
@@ -55,8 +67,10 @@ def main():
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
         from concurrent.futures import wait as fwait
 
+        par_files = [f for f in files if f not in SERIAL_FILES]
+        ser_files = [f for f in files if f in SERIAL_FILES]
         with ThreadPoolExecutor(args.jobs) as ex:
-            pending = {ex.submit(run_file, f, extra) for f in files}
+            pending = {ex.submit(run_file, f, extra) for f in par_files}
             results = []
             while pending:
                 done, pending = fwait(pending, return_when=FIRST_COMPLETED)
@@ -68,6 +82,12 @@ def main():
                     still_running = [f for f in pending if not f.cancel()]
                     results.extend(f.result() for f in still_running)
                     pending = set()
+        # subprocess-heavy files: serial, after the parallel phase
+        if not (args.failfast and any(r[1] != 0 for r in results)):
+            for f in ser_files:
+                results.append(run_file(f, extra))
+                if args.failfast and results[-1][1] != 0:
+                    break
     else:
         results = []
         for f in files:

@@ -83,32 +83,39 @@ def main():
 
     if args.spec2spec:
         n_freq_in = model.stft_cfg.n_freq - 1  # fastenhancer drops last bin
+        carry0 = model.init_streaming_carry(b)
 
         if args.fused:
             if args.no_fold:
                 ap.error("--fused requires folded variables (drop --no-fold)")
+            # NOTE: the fused plan is closed over, so it is baked into the
+            # jax.export artifact as CONSTANTS — the block-stack weights of
+            # THIS checkpoint. The .params.pkl shipped alongside still holds
+            # the full variables (incl. the now-unused rf_blocks leaves);
+            # substituting a different checkpoint's params at run time would
+            # silently keep the export-time block weights. Re-export per
+            # checkpoint for --fused artifacts (same constraint as the
+            # wav2wav --fused form below).
             plan = model.build_stack_plan(variables)
-
-            def step(variables, carry, spec):
-                # spec [B, F, 1, 2] compressed, block stack as one Pallas
-                # program (the paper's RTF form + the fused kernel)
-                mask, h_t = model.model_forward_fused(variables, plan, spec,
-                                                      carry["h"])
-                spec_hat = model.complex_mask_mul(spec, mask)
-                return dict(carry, h=h_t), spec_hat
-
-            carry0 = model.init_streaming_carry(b)
             carry0["h"] = jnp.stack(carry0["h"])  # fused step: stacked h
-        else:
-            def step(variables, carry, spec):
-                # spec [B, F, 1, 2] compressed; returns enhanced compressed spec
-                params, stats = variables["params"], variables["stats"]
-                mask, h_t, _ = model.model_forward(params, stats, spec,
-                                                   h0=carry["h"], train=False)
-                spec_hat = model.complex_mask_mul(spec, mask)
-                return dict(carry, h=h_t), spec_hat
 
-            carry0 = model.init_streaming_carry(b)
+            def forward(variables, spec, h):
+                # block stack as one Pallas program (the paper's RTF form +
+                # the fused kernel)
+                return model.model_forward_fused(variables, plan, spec, h)
+        else:
+            def forward(variables, spec, h):
+                mask, h_t, _ = model.model_forward(
+                    variables["params"], variables["stats"], spec,
+                    h0=h, train=False)
+                return mask, h_t
+
+        def step(variables, carry, spec):
+            # spec [B, F, 1, 2] compressed -> enhanced compressed spec
+            mask, h_t = forward(variables, spec, carry["h"])
+            spec_hat = model.complex_mask_mul(spec, mask)
+            return dict(carry, h=h_t), spec_hat
+
         feed = jnp.zeros((b, n_freq_in, 1, 2), jnp.float32)
     elif args.fused:
         if args.no_fold:

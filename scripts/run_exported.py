@@ -8,6 +8,11 @@ needed — only the artifact.
 
     python -m scripts.run_exported step.jaxexport --params params.pkl \
         -i in.wav -o out.wav
+
+Caveat for `--fused` artifacts: the fused block-stack plan is baked into
+the artifact as constants at export time, so feeding a DIFFERENT
+checkpoint's .params.pkl would silently keep the export-time block
+weights — re-export per checkpoint (see scripts/export.py).
 """
 import argparse
 import os
