@@ -69,14 +69,21 @@ def test_mapping_constants():
 
 
 def test_awgn_absolute_plausibility():
-    """wb MOS-LQO for speech+white noise must land in the literature bands."""
+    """wb MOS-LQO for speech+white noise must land in the literature bands
+    (tightened in round 3: the PESQ-vs-SNR curve for additive white noise
+    is ~linear at ~0.08 MOS/dB through the mid range — 20 dB SNR scores
+    near 3, 10 dB near 2, 0 dB floors toward ~1.3)."""
     x, rng = make_speech(seed=7)
-    s20 = pesq(SR, x, add_noise(x, rng, 20), "wb")
-    s0 = pesq(SR, x, add_noise(x, rng, 0), "wb")
     s40 = pesq(SR, x, add_noise(x, rng, 40), "wb")
-    assert 2.2 <= s20 <= 3.6
-    assert 1.0 <= s0 <= 2.0
-    assert s40 >= 4.0
+    s20 = pesq(SR, x, add_noise(x, rng, 20), "wb")
+    s10 = pesq(SR, x, add_noise(x, rng, 10), "wb")
+    s0 = pesq(SR, x, add_noise(x, rng, 0), "wb")
+    assert s40 >= 4.2
+    assert 2.6 <= s20 <= 3.4
+    assert 1.7 <= s10 <= 2.5
+    assert 1.1 <= s0 <= 1.7
+    # mid-range slope ~0.08 MOS/dB (20 -> 10 dB)
+    assert 0.04 <= (s20 - s10) / 10.0 <= 0.13
 
 
 # ---------------------------------------------------------------------------
@@ -233,3 +240,99 @@ def test_pesq_loss_rank_correlates_with_p862():
                        for d in degraded])
     rho = _spearman(losses, -mos)   # higher loss <-> lower MOS
     assert rho >= 0.85, (rho, list(zip(losses, mos)))
+
+
+# ---------------------------------------------------------------------------
+# frozen validation grid (round-3, VERDICT Weak/Next #6)
+# ---------------------------------------------------------------------------
+#
+# A committed, fully deterministic degradation grid with PINNED MOS-LQO
+# values from this implementation. Two jobs:
+#   1. regression lock — any change to the perceptual model moves these and
+#      must be re-justified;
+#   2. certification hook — when the `pesq` C library is installable, the
+#      companion test below measures and bounds the max deviation of the
+#      native scores against certified P.862 on this exact grid. The ITU
+#      band tables themselves are NOT transcribed here: no certified table
+#      source exists in this environment (zero egress), and a mis-typed
+#      49-value table would be silently worse than the formula-derived
+#      layout documented in pesq_native.py.
+
+def _grid():
+    x, _ = make_speech(seed=11, dur=4.0)
+    n = len(x)
+    f = np.fft.rfftfreq(n, 1.0 / SR)
+    r2 = np.random.default_rng(123)
+
+    def noise(snr):
+        nz = r2.standard_normal(n)
+        nz *= np.sqrt(np.square(x).mean() / np.square(nz).mean())
+        return x + nz * 10.0 ** (-snr / 20.0)
+
+    def lp(fc):
+        return np.fft.irfft(np.fft.rfft(x) * (f < fc), n)
+
+    out = {"identity": x}
+    for snr in (40, 30, 20, 10, 5, 0):
+        out[f"awgn_{snr}dB"] = noise(snr)
+    for c in (0.3, 0.1, 0.03):
+        out[f"clip_{c}"] = np.clip(x, -c, c)
+    for fc in (7000, 3500, 2000, 1000):
+        out[f"lowpass_{fc}"] = lp(fc)
+    out["gain_+6dB"] = x * 2.0
+    out["delay_10ms"] = np.concatenate([np.zeros(160), x])[:n]
+    out["echo_30ms"] = x + 0.3 * np.concatenate([np.zeros(480), x])[:n]
+    return x, out
+
+
+# (name, wb MOS-LQO, nb MOS-LQO) measured from this implementation
+GRID_EXPECTED = [
+    ("identity", 4.6439, 4.5486),
+    ("awgn_40dB", 4.5048, 3.9317),
+    ("awgn_30dB", 3.8013, 2.7564),
+    ("awgn_20dB", 2.9639, 2.0567),
+    ("awgn_10dB", 2.1030, 1.3673),
+    ("awgn_5dB", 1.6864, 1.1523),
+    ("awgn_0dB", 1.4105, 1.0847),
+    ("clip_0.3", 4.5696, 4.4135),
+    ("clip_0.1", 4.2756, 3.7446),
+    ("clip_0.03", 2.8615, 1.8822),
+    ("lowpass_7000", 4.5746, 4.5486),
+    ("lowpass_3500", 4.3634, 4.4468),
+    ("lowpass_2000", 4.2001, 3.8263),
+    ("lowpass_1000", 3.9494, 2.9289),
+    ("gain_+6dB", 4.6439, 4.5486),
+    ("delay_10ms", 4.6353, 4.4303),
+    ("echo_30ms", 3.1610, 2.0302),
+]
+
+
+def test_frozen_grid_regression():
+    x, grid = _grid()
+    expected = dict((n, (wb, nb)) for n, wb, nb in GRID_EXPECTED)
+    assert set(expected) == set(grid)
+    for name, deg in grid.items():
+        wb, nb = expected[name]
+        assert pesq(SR, x, deg, "wb") == pytest.approx(wb, abs=0.02), name
+        assert pesq(SR, x, deg, "nb") == pytest.approx(nb, abs=0.02), name
+
+
+def test_grid_vs_certified_pesq():
+    """When the `pesq` C library is installed, bound the native metric's
+    deviation against certified P.862 on the committed grid. Documented
+    bound: max |native - certified| <= 0.35 MOS-LQO, mean <= 0.20."""
+    cert = pytest.importorskip("pesq")
+    x, grid = _grid()
+    devs = []
+    for name, deg in grid.items():
+        ours = pesq(SR, x, deg, "wb")
+        theirs = float(cert.pesq(SR, x.astype(np.float32),
+                                 np.asarray(deg, np.float32), "wb"))
+        devs.append((abs(ours - theirs), name, ours, theirs))
+    devs.sort(reverse=True)
+    worst, name, ours, theirs = devs[0]
+    mean = float(np.mean([d[0] for d in devs]))
+    print(f"max |native-certified| = {worst:.3f} ({name}: "
+          f"{ours:.3f} vs {theirs:.3f}); mean = {mean:.3f}")
+    assert worst <= 0.35, devs[:5]
+    assert mean <= 0.20, devs[:5]
