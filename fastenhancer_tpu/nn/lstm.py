@@ -51,8 +51,10 @@ def lstm_cell(x_proj: Array, h: Array, c: Array, w_hh: Array, b_hh: Array
 def lstm(
     params: Params, x: Array,
     hc0: tp.Optional[tp.Tuple[Array, Array]] = None,
+    unroll: tp.Union[int, bool] = 8,
 ) -> tp.Tuple[Array, tp.Tuple[Array, Array]]:
-    """x: [T, N, I] -> (y [T, N, H], (h_T, c_T))."""
+    """x: [T, N, I] -> (y [T, N, H], (h_T, c_T)). unroll=True fully unrolls
+    the scan (use for short static T, e.g. BSRNN's 30-band freq axis)."""
     t, n, _ = x.shape
     hidden = params["weight_hh"].shape[1]
     if hc0 is None:
@@ -68,12 +70,13 @@ def lstm(
         h, c = lstm_cell(xp, h, c, w_hh, b_hh)
         return (h, c), h
 
-    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), x_proj, unroll=8)
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), x_proj, unroll=unroll)
     return ys, (h_t, c_t)
 
 
-def bilstm(params: Params, x: Array) -> Array:
+def bilstm(params: Params, x: Array,
+           unroll: tp.Union[int, bool] = 8) -> Array:
     """x: [T, N, I] -> [T, N, 2H] (torch bidirectional layout)."""
-    y_f, _ = lstm(params["fwd"], x)
-    y_b, _ = lstm(params["bwd"], jnp.flip(x, axis=0))
+    y_f, _ = lstm(params["fwd"], x, unroll=unroll)
+    y_b, _ = lstm(params["bwd"], jnp.flip(x, axis=0), unroll=unroll)
     return jnp.concatenate([y_f, jnp.flip(y_b, axis=0)], axis=-1)

@@ -172,3 +172,26 @@ def test_sync_batchnorm_semantics_under_sharding():
     y_local, st_local = f(jnp.asarray(x))
     np.testing.assert_allclose(_np(y_sharded), _np(y_local), atol=1e-5)
     np.testing.assert_allclose(_np(st_sharded["mean"]), _np(st_local["mean"]), atol=1e-6)
+
+
+def test_lstm_unroll_invariant():
+    """lstm/bilstm unroll is a scheduling knob, never a math knob."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fastenhancer_tpu.nn.lstm import lstm, bilstm
+
+    rng = np.random.default_rng(0)
+    i, h, t, n = 6, 5, 30, 3
+    p = {k: jnp.asarray(rng.standard_normal(s).astype(np.float32)) for k, s in
+         [("weight_ih", (4 * h, i)), ("weight_hh", (4 * h, h)),
+          ("bias_ih", (4 * h,)), ("bias_hh", (4 * h,))]}
+    x = jnp.asarray(rng.standard_normal((t, n, i)).astype(np.float32))
+    y8, (h8, c8) = lstm(p, x, unroll=8)
+    yf, (hf, cf) = lstm(p, x, unroll=True)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y8), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(h8), atol=1e-6)
+    pb = {"fwd": p, "bwd": jax.tree.map(lambda a: a * 0.9, p)}
+    np.testing.assert_allclose(np.asarray(bilstm(pb, x, unroll=True)),
+                               np.asarray(bilstm(pb, x, unroll=8)), atol=1e-6)
