@@ -125,6 +125,100 @@ class Model:
 
     # -- pieces -------------------------------------------------------------------
 
+    def _band_groups(self) -> tp.List[tp.Tuple[int, int, int, int]]:
+        """Consecutive runs of equal-width subbands: (band_idx0, n_bands,
+        sub_width, bin_start). The 512-FFT layout yields 5 groups
+        (widths 2/3/8/16/17), so the per-band work below runs as 5 batched
+        einsums instead of 31 tiny convs."""
+        if not hasattr(self, "_groups_cache"):
+            groups = []
+            i = bin0 = 0
+            while i < self.n_bands:
+                sub = self.subbands[i]
+                j = i
+                while j < self.n_bands and self.subbands[j] == sub:
+                    j += 1
+                groups.append((i, j - i, sub, bin0))
+                bin0 += (j - i) * sub
+                i = j
+            self._groups_cache = groups
+        return self._groups_cache
+
+    @staticmethod
+    def _bn_eval_grouped(x, ps, ss, key=None):
+        """Eval-mode BN over a [B, g, T, ch] stack of g bands — same math as
+        g independent fnn.batch_norm(train=False) calls (f32 norm, cast
+        back). `key` indexes into nested {mask,residual} entries."""
+        pick = (lambda e: e) if key is None else (lambda e: e[key])
+        mean = jnp.stack([pick(s)["norm"]["mean"] for s in ss])
+        var = jnp.stack([pick(s)["norm"]["var"] for s in ss])
+        xf = x.astype(jnp.float32)
+        y = (xf - mean[None, :, None, :]) * jax.lax.rsqrt(
+            var[None, :, None, :].astype(jnp.float32) + 1e-5)
+        if pick(ps[0])["norm"] is not None:
+            w = jnp.stack([pick(p)["norm"]["weight"] for p in ps])
+            b = jnp.stack([pick(p)["norm"]["bias"] for p in ps])
+            y = y * w[None, :, None, :] + b[None, :, None, :]
+        return y.astype(x.dtype)
+
+    def _band_split_eval(self, params, stats, spec):
+        """Math-identical grouped form of _band_split for train=False.
+
+        BSRNN's per-frame streaming cost is op dispatch, not FLOPs: the loop
+        form issues 31 tiny [B,T,sub*2]x[sub*2,C] convs per frame. Here each
+        equal-width group runs as ONE batched einsum (weights stacked at
+        trace time — loop-invariant, hoisted out of the streaming scan)."""
+        b, f, t, _ = spec.shape
+        outs = []
+        for i0, g, sub, bin0 in self._band_groups():
+            x = spec[:, bin0:bin0 + g * sub]            # [B, g*sub, T, 2]
+            x = (x.reshape(b, g, sub, t, 2).transpose(0, 1, 3, 2, 4)
+                 .reshape(b, g, t, sub * 2))            # [B, g, T, sub*2]
+            ps = params[i0:i0 + g]
+            ss = stats[i0:i0 + g]
+            if ss[0].get("norm") is not None:           # folded: no norms
+                x = self._bn_eval_grouped(x, ps, ss)
+            wfc = jnp.stack([p["fc"]["weight"][:, :, 0] for p in ps])
+            x = jnp.einsum("bgts,gcs->bgtc", x, wfc)    # [B, g, T, C]
+            if "bias" in ps[0]["fc"]:
+                x = x + jnp.stack([p["fc"]["bias"]
+                                   for p in ps])[None, :, None, :]
+            outs.append(x.transpose(0, 2, 1, 3))        # [B, T, g, C]
+        x = jnp.concatenate(outs, axis=2)               # [B, T, F', C]
+        return x.transpose(1, 0, 2, 3)                  # [T, B, F', C]
+
+    def _mask_decoder_eval(self, params, stats, x):
+        """Grouped form of _mask_decoder for train=False (see
+        _band_split_eval): the C->4C conv1 batches over ALL 31 bands, the
+        4C->sub*4 conv2 + GLU batch per equal-width group."""
+        b, nb, c, t = x.shape
+        xall = x.transpose(0, 1, 3, 2)                  # [B, F', T, C]
+        outs = {}
+        for which in ("mask", "residual"):
+            y = xall
+            if stats[0].get(which, {}).get("norm") is not None:
+                y = self._bn_eval_grouped(y, params, stats, key=which)
+            w1 = jnp.stack([p[which]["conv1"]["weight"][:, :, 0]
+                            for p in params])           # [F', 4C, C]
+            b1 = jnp.stack([p[which]["conv1"]["bias"] for p in params])
+            y = jnp.einsum("bftc,fdc->bftd", y, w1) + b1[None, :, None, :]
+            y = jnp.tanh(y)
+            pieces = []
+            for i0, g, sub, bin0 in self._band_groups():
+                w2 = jnp.stack([p[which]["conv2"]["weight"][:, :, 0]
+                                for p in params[i0:i0 + g]])  # [g, sub*4, 4C]
+                b2 = jnp.stack([p[which]["conv2"]["bias"]
+                                for p in params[i0:i0 + g]])
+                z = (jnp.einsum("bgtd,gsd->bgts", y[:, i0:i0 + g], w2)
+                     + b2[None, :, None, :])
+                a, gate = jnp.split(z, 2, axis=-1)      # torch GLU(dim=1)
+                z = a * jax.nn.sigmoid(gate)            # [B, g, T, sub*2]
+                z = (z.reshape(b, g, t, sub, 2).transpose(0, 2, 1, 3, 4)
+                     .reshape(b, t, g * sub, 2))
+                pieces.append(z)
+            outs[which] = jnp.concatenate(pieces, axis=2).transpose(0, 2, 1, 3)
+        return outs["mask"], outs["residual"]
+
     def _band_split(self, params, stats, spec, train: bool):
         """spec [B, F, T, 2] -> ([T, B, F', C], new_stats list)."""
         b, f, t, _ = spec.shape
@@ -190,10 +284,13 @@ class Model:
     ) -> tp.Tuple[Array, tp.List, Params]:
         """Compressed spec [B, F, T, 2] -> (spec_hat, carry_out, new_stats)."""
         new_stats = jax.tree.map(lambda x: x, stats)
-        x, bs_stats = self._band_split(params["band_split"],
-                                       stats["band_split"], spec, train)
         if train:
+            x, bs_stats = self._band_split(params["band_split"],
+                                           stats["band_split"], spec, train)
             new_stats["band_split"] = bs_stats
+        else:
+            x = self._band_split_eval(params["band_split"],
+                                      stats["band_split"], spec)
         t, b, f, c = x.shape
         bw_tb = (None if self._row_mask is None
                  else self._row_mask[None, :, None, None])
@@ -232,10 +329,13 @@ class Model:
                 new_stats["layers"][i]["norm_freq"] = bn_s
 
         x = x.transpose(1, 2, 3, 0)                      # [B, F', C, T]
-        mask, res, md_stats = self._mask_decoder(
-            params["mask_decoder"], stats["mask_decoder"], x, train)
         if train:
+            mask, res, md_stats = self._mask_decoder(
+                params["mask_decoder"], stats["mask_decoder"], x, train)
             new_stats["mask_decoder"] = md_stats
+        else:
+            mask, res = self._mask_decoder_eval(
+                params["mask_decoder"], stats["mask_decoder"], x)
         re = spec[..., 0] * mask[..., 0] - spec[..., 1] * mask[..., 1]
         im = spec[..., 0] * mask[..., 1] + spec[..., 1] * mask[..., 0]
         spec_hat = jnp.stack([re, im], axis=3) + res

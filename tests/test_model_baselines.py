@@ -158,3 +158,45 @@ def test_chunked_stream_equals_per_frame(name, kwargs):
     y1 = np.asarray(model.stream(variables, wav))
     y4 = np.asarray(model.stream(variables, wav, chunk_frames=4))
     np.testing.assert_allclose(y4, y1, atol=1e-4)
+
+
+def test_bsrnn_grouped_eval_matches_band_loop():
+    """The grouped eval form of band_split / mask_decoder (equal-width bands
+    batched into one einsum per group) is math-identical to the per-band
+    loop form that the train path uses."""
+    model = get_model("bsrnn", **BSRNN_KWARGS)
+    v = model.init(jax.random.PRNGKey(0))
+    # non-trivial running stats so eval BN actually normalizes
+    v["stats"] = jax.tree.map(
+        lambda x: jnp.abs(x + 0.1) + 0.5 if getattr(x, "ndim", 0) else x,
+        v["stats"])
+
+    spec = jax.random.normal(jax.random.PRNGKey(2), (3, 257, 7, 2))
+    x_loop, _ = model._band_split(v["params"]["band_split"],
+                                  v["stats"]["band_split"], spec, train=False)
+    x_grp = model._band_split_eval(v["params"]["band_split"],
+                                   v["stats"]["band_split"], spec)
+    np.testing.assert_allclose(np.asarray(x_grp), np.asarray(x_loop),
+                               atol=1e-6)
+
+    c = BSRNN_KWARGS["num_channels"]
+    xd = jax.random.normal(jax.random.PRNGKey(3), (3, model.n_bands, c, 7))
+    m_loop, r_loop, _ = model._mask_decoder(
+        v["params"]["mask_decoder"], v["stats"]["mask_decoder"], xd,
+        train=False)
+    m_grp, r_grp = model._mask_decoder_eval(
+        v["params"]["mask_decoder"], v["stats"]["mask_decoder"], xd)
+    np.testing.assert_allclose(np.asarray(m_grp), np.asarray(m_loop),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_grp), np.asarray(r_loop),
+                               atol=1e-6)
+
+    # folded variables drop the norms entirely — grouped path must still match
+    vf = model.fold(v)
+    xf_loop, _ = model._band_split(vf["params"]["band_split"],
+                                   vf["stats"]["band_split"], spec,
+                                   train=False)
+    xf_grp = model._band_split_eval(vf["params"]["band_split"],
+                                    vf["stats"]["band_split"], spec)
+    np.testing.assert_allclose(np.asarray(xf_grp), np.asarray(xf_loop),
+                               atol=1e-6)
