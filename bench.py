@@ -76,12 +76,13 @@ def main():
         raise SystemExit("fastenhancer.noncausal is offline-only (no "
                          "streaming graph) — the reference publishes no "
                          "RTF for it either")
-    try:
-        model = get_model(model_name, **kwargs, stft_method=stft_method)
-        stft_used = stft_method
-    except TypeError:  # baselines take no stft_method kwarg (fft form)
-        model = get_model(model_name, **kwargs)
-        stft_used = "fft"
+    # every family takes stft_method (matmul = MXU windowed-DFT form, the
+    # fast one for per-frame streaming; math-identical to fft). No blanket
+    # try/except TypeError here: a bad config kwarg must surface, not
+    # silently retry without stft_method (advisor r3)
+    fe_family = model_name.startswith("fastenhancer.")
+    model = get_model(model_name, **kwargs, stft_method=stft_method)
+    stft_used = stft_method
     variables = model.init(jax.random.PRNGKey(0))
     variables = model.fold(variables)  # deploy-time reparam removal
     if dtype != jnp.float32:
@@ -126,9 +127,7 @@ def main():
             fused_plan = replicate(fused_plan, mesh)
         wav = shard_batch(wav, mesh)
 
-    # baselines' stream() takes no unroll/fused_plan kwargs
-    fe_family = model_name.startswith("fastenhancer.")
-
+    # baselines' stream() takes no unroll/fused_plan kwargs (fe_family above)
     def make_bench_fn(plan):
         def stream(v, p, w):
             if fe_family:

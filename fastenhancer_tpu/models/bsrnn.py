@@ -56,6 +56,7 @@ class Model:
         win_size: int = 512,
         window: str = "hann",
         input_compression: float = 0.3,
+        stft_method: str = "fft",
     ):
         assert n_fft == 512, "reference BandSplit supports n_fft=512 only"
         self.subbands = list(SUBBANDS_512)
@@ -66,8 +67,11 @@ class Model:
         self.n_fft = n_fft
         self.hop_size = hop_size
         self.input_compression = input_compression
+        # stft_method="matmul": MXU windowed-DFT form, faster per frame
+        # (same knob as the fastenhancer family; math-identical to fft)
         self.stft_cfg = STFTConfig(n_fft=n_fft, hop_size=hop_size,
-                                   win_size=win_size, win_type=window)
+                                   win_size=win_size, win_type=window,
+                                   method=stft_method)
         self.n_bands = len(self.subbands)
 
     # -- init ---------------------------------------------------------------------

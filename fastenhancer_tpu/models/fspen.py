@@ -78,6 +78,7 @@ class Model:
         win_size: int = 512,
         window: str = "hann",
         input_compression: float = 0.3,
+        stft_method: str = "fft",
     ):
         assert n_fft == 512
         self.channels = list(channels)
@@ -87,8 +88,12 @@ class Model:
         self.n_fft = n_fft
         self.hop_size = hop_size
         self.input_compression = input_compression
+        # stft_method="matmul" runs the window+DFT as one MXU matmul — the
+        # faster form for per-frame streaming (same knob as the fastenhancer
+        # family; math-identical to fft within float tolerance)
         self.stft_cfg = STFTConfig(n_fft=n_fft, hop_size=hop_size,
-                                   win_size=win_size, win_type=window)
+                                   win_size=win_size, win_type=window,
+                                   method=stft_method)
 
     # -- init ----------------------------------------------------------------------
 

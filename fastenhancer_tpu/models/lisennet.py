@@ -94,6 +94,7 @@ class Model:
         window: tp.Optional[str] = "hann",
         input_compression: float = 0.3,
         normalized: bool = False,
+        stft_method: str = "fft",
     ):
         self.c = num_channels
         self.n_blocks = n_blocks
@@ -101,9 +102,12 @@ class Model:
         self.hop_size = hop_size
         self.n_freqs = n_fft // 2 + 1
         self.input_compression = input_compression
+        # stft_method="matmul": MXU windowed-DFT form, faster per frame
+        # (same knob as the fastenhancer family; math-identical to fft)
         self.stft_cfg = STFTConfig(n_fft=n_fft, hop_size=hop_size,
                                    win_size=win_size, win_type=window,
-                                   normalized=normalized)
+                                   normalized=normalized,
+                                   method=stft_method)
         self.dpr_freq = self.n_freqs // 8  # 32
 
     # -- init -------------------------------------------------------------------------

@@ -91,10 +91,36 @@ def init_bigru(key: Array, input_size: int, hidden_size: int) -> Params:
 def bigru(params: Params, x: Array) -> Array:
     """Bidirectional full-sequence GRU. x: [T, N, I] -> [T, N, 2H]
     (forward outputs concatenated with reversed-scan backward outputs,
-    torch bidirectional=True layout)."""
-    y_f, _ = gru(params["fwd"], x)
-    y_b, _ = gru(params["bwd"], jnp.flip(x, axis=0))
-    return jnp.concatenate([y_f, jnp.flip(y_b, axis=0)], axis=-1)
+    torch bidirectional=True layout).
+
+    Like nn.lstm.bilstm, both directions run in ONE scan over
+    direction-stacked rows — T sequential cell steps instead of 2T — which
+    halves the recurrence chain of per-frame freq sweeps (dprnn's bi
+    freq-GRU, FSPEN's bi intra-GRU)."""
+    wf_ih, wf_hh, bf_ih, bf_hh = _gates(params["fwd"])
+    wb_ih, wb_hh, bb_ih, bb_hh = _gates(params["bwd"])
+    t, n, _ = x.shape
+    hidden = wf_hh.shape[1]
+    xx = jnp.stack([x, jnp.flip(x, axis=0)], axis=1)       # [T, 2, N, I]
+    w_ih = jnp.stack([wf_ih, wb_ih])
+    w_hh = jnp.stack([wf_hh, wb_hh])
+    b_ih = jnp.stack([bf_ih, bb_ih])
+    b_hh = jnp.stack([bf_hh, bb_hh])
+    x_proj = jnp.einsum("tdni,dgi->tdng", xx, w_ih) + b_ih[:, None]
+
+    def step(h, xp):
+        hh = jnp.einsum("dnh,dgh->dng", h, w_hh) + b_hh[:, None]
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hh, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n_ = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n_ + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((2, n, hidden), x.dtype)
+    _, ys = jax.lax.scan(step, h0, x_proj, unroll=8)
+    return jnp.concatenate([ys[:, 0], jnp.flip(ys[:, 1], axis=0)], axis=-1)
 
 
 def gru_step(params: Params, x: Array, h: Array) -> Array:

@@ -76,7 +76,31 @@ def lstm(
 
 def bilstm(params: Params, x: Array,
            unroll: tp.Union[int, bool] = 8) -> Array:
-    """x: [T, N, I] -> [T, N, 2H] (torch bidirectional layout)."""
-    y_f, _ = lstm(params["fwd"], x, unroll=unroll)
-    y_b, _ = lstm(params["bwd"], jnp.flip(x, axis=0), unroll=unroll)
-    return jnp.concatenate([y_f, jnp.flip(y_b, axis=0)], axis=-1)
+    """x: [T, N, I] -> [T, N, 2H] (torch bidirectional layout).
+
+    Both directions run in ONE scan over direction-stacked rows (the bwd
+    lane sees the flipped sequence), so a length-T sweep costs T sequential
+    cell steps instead of 2T back-to-back scans. This is the per-frame
+    latency lever for BSRNN-style models: their freq axis is re-scanned
+    every streaming frame (reference models/bsrnn/model.py:353-402), so the
+    recurrence chain — not FLOPs — bounds the streaming step."""
+    t, n, _ = x.shape
+    hidden = params["fwd"]["weight_hh"].shape[1]
+    xx = jnp.stack([x, jnp.flip(x, axis=0)], axis=1)       # [T, 2, N, I]
+    w_ih = jnp.stack([params["fwd"]["weight_ih"], params["bwd"]["weight_ih"]])
+    w_hh = jnp.stack([params["fwd"]["weight_hh"], params["bwd"]["weight_hh"]])
+    b_ih = jnp.stack([params["fwd"]["bias_ih"], params["bwd"]["bias_ih"]])
+    b_hh = jnp.stack([params["fwd"]["bias_hh"], params["bwd"]["bias_hh"]])
+    x_proj = jnp.einsum("tdni,dgi->tdng", xx, w_ih) + b_ih[:, None]
+
+    def step(carry, xp):
+        h, c = carry                                        # [2, N, H]
+        gates = xp + jnp.einsum("dnh,dgh->dng", h, w_hh) + b_hh[:, None]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    zeros = jnp.zeros((2, n, hidden), x.dtype)
+    _, ys = jax.lax.scan(step, (zeros, zeros), x_proj, unroll=unroll)
+    return jnp.concatenate([ys[:, 0], jnp.flip(ys[:, 1], axis=0)], axis=-1)

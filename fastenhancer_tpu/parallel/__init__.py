@@ -77,9 +77,15 @@ def local_rows(arr: tp.Any) -> np.ndarray:
     Single process: the whole array."""
     if jax.process_count() == 1:
         return np.asarray(arr)
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards])
+    # dedupe by row range: if the batch axis is replicated across a second
+    # mesh axis, multiple addressable shards cover the same rows — keep one
+    # per distinct row start instead of concatenating duplicates
+    by_start: tp.Dict[int, np.ndarray] = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    return np.concatenate([by_start[k] for k in sorted(by_start)])
 
 
 def shard_map_stream(fn: tp.Callable, mesh: Mesh,

@@ -56,6 +56,15 @@ class ModelWrapper:
         self.metrics: tp.Optional[Metrics] = None
         self.scheduler = None
         self.test = False
+        # multihost shape agreement (see _reconcile_multihost): train
+        # batches are provably one static shape when the recipe fixes the
+        # segment and drops ragged tails — then the per-step dims allgather
+        # collapses to one cached call (no hot-path host sync)
+        self._mh_dims_cache: tp.Dict[tuple, tuple] = {}
+        self._mh_static_train = bool(
+            "train" in hps
+            and getattr(hps.data.get("train", {}), "segment_size", None)
+            and getattr(hps.train, "drop_last", False))
 
         if train:
             hp = hps.train
@@ -128,7 +137,7 @@ class ModelWrapper:
     # -- batch prep ------------------------------------------------------------
 
     def _device_batch(self, batch: tp.Mapping[str, np.ndarray],
-                      keys: tp.Sequence[str]):
+                      keys: tp.Sequence[str], static_shapes: bool = False):
         """Trim to hop multiple, pad batch dim to device multiple, shard.
 
         Adds "row_mask" [B] f32 (1 real, 0 padded) so the jitted steps can
@@ -136,55 +145,109 @@ class ModelWrapper:
         (the reference never feeds padded rows: its per-rank DataLoaders
         yield real items only)."""
         arrs = {k: batch[k] for k in keys if k in batch}
-        t_raw = min(a.shape[-1] for a in arrs.values())
         b = next(iter(arrs.values())).shape[0]
+        arrs["row_mask"] = np.ones(b, np.float32)
         if jax.process_count() > 1:
             # hop-floor AFTER the cross-host max so no host drops samples
-            # another host will keep (see _device_batch_multihost)
-            arrs["row_mask"] = np.ones(b, np.float32)
-            return self._device_batch_multihost(arrs, b, t_raw)
+            # another host will keep (see _reconcile_multihost)
+            shared = tuple(k for k, a in arrs.items()
+                           if k != "row_mask" and np.asarray(a).ndim > 1)
+            arrs = self._reconcile_multihost(arrs, shared,
+                                             static_shapes=static_shapes)
+            return shard_batch(arrs, self.mesh), b
+        t_raw = min(a.shape[-1] for a in arrs.values() if a.ndim > 1)
         t = (t_raw // self.hop_size) * self.hop_size
-        arrs = {k: a[..., :t] for k, a in arrs.items()}
-        arrs["row_mask"] = np.ones(b, np.float32)
+        arrs = {k: (a[..., :t] if a.ndim > 1 else a)
+                for k, a in arrs.items()}
         padded, real_b = pad_batch_to(arrs, self.n_devices)
         return shard_batch(padded, self.mesh), real_b
 
-    def _device_batch_multihost(self, arrs, b: int, t: int):
-        """Assemble one GLOBAL batch from per-process local batches.
+    def _reconcile_multihost(self, arrs, shared_time_keys,
+                             static_shapes: bool = False):
+        """Pad this process's local arrays to the agreed GLOBAL shapes.
 
         Each process serves a disjoint batch stride (reference:
         DistributedSampler, utils/data/__init__.py:79-81), so the global
         step-k batch is the row-concat of every process's local batch. XLA
-        needs one consistent global shape: processes agree per step — via
-        one small host allgather — on the common time length (MAX across
-        hosts, zero-padded up: identical to single-host collate's
-        pad-to-batch-max, so a W-process run at batch B computes the exact
-        same global batch as a 1-process run at W*B) and the common local
-        row count (max, padded with masked zero rows)."""
+        needs one consistent global shape, agreed via one small host
+        allgather per step:
+          * `shared_time_keys` (waveforms sharing the sample axis) crop/pad
+            to the hop-floored cross-host MAX time — identical to
+            single-host collate's pad-to-batch-max, so a W-process run at
+            batch B computes the exact same global batch as 1 process at
+            W*B;
+          * other >=2-D keys (e.g. `rir`, stored at its natural length) are
+            zero-padded — never cropped — to their own cross-host max;
+          * rows pad to a device multiple of the cross-host max row count
+            with zero rows masked out via "row_mask".
+
+        `static_shapes=True` (fixed-segment training with drop_last)
+        promises every process's local dims repeat identically each step;
+        the allgather then runs once and is cached — no per-step host sync.
+        Every process takes the same branch (same promise, same local dims),
+        so collectives stay in lockstep; a process whose dims change raises
+        before any collective instead of deadlocking the others."""
+        import zlib
+
         from jax.experimental import multihost_utils
 
         world = jax.process_count()
         n_local = max(self.n_devices // world, 1)
-        dims = np.asarray(multihost_utils.process_allgather(
-            np.asarray([b, t], np.int64))).reshape(world, 2)
-        t_c = (int(dims[:, 1].max()) // self.hop_size) * self.hop_size
-        rows = -(-int(dims[:, 0].max()) // n_local) * n_local
+        keys = sorted(arrs)
+        shared = [k for k in keys if k in shared_time_keys]
+        pad_only = [k for k in keys if k not in shared_time_keys
+                    and np.asarray(arrs[k]).ndim >= 2]
+        b = int(np.asarray(arrs[keys[0]]).shape[0])
+        t_shared = (min(int(np.asarray(arrs[k]).shape[-1]) for k in shared)
+                    if shared else 0)
+        # key-set fingerprint rides the dims vector: a config divergence
+        # across processes fails loudly instead of mispairing columns
+        fp = zlib.crc32(repr((keys, shared, pad_only)).encode()) & 0x7FFFFFFF
+        sig = (fp, b, t_shared) + tuple(
+            int(np.asarray(arrs[k]).shape[-1]) for k in pad_only)
+
+        cached = self._mh_dims_cache.get(sig) if static_shapes else None
+        if cached is None:
+            if static_shapes and self._mh_dims_cache:
+                raise RuntimeError(
+                    "multihost static_shapes promised but the local batch "
+                    f"dims changed (cached {sorted(self._mh_dims_cache)}, "
+                    f"got {sig}); fixed-segment training must use "
+                    "drop_last=True so every step has one batch shape")
+            g = np.asarray(multihost_utils.process_allgather(
+                np.asarray(sig, np.int64))).reshape(world, len(sig))
+            if not (g[:, 0] == g[0, 0]).all():
+                raise RuntimeError(
+                    "multihost batch key sets differ across processes "
+                    f"(fingerprints {g[:, 0].tolist()}); every process must "
+                    "run the identical config")
+            rows = -(-int(g[:, 1].max()) // n_local) * n_local
+            t_c = ((int(g[:, 2].max()) // self.hop_size) * self.hop_size
+                   if shared else 0)
+            pad_dims = {k: int(g[:, 3 + i].max())
+                        for i, k in enumerate(pad_only)}
+            cached = (rows, t_c, pad_dims)
+            if static_shapes:
+                self._mh_dims_cache[sig] = cached
+        rows, t_c, pad_dims = cached
 
         out = {}
         for k, a in arrs.items():
             a = np.asarray(a)
             widths = [(0, 0)] * a.ndim
-            if k != "row_mask":
+            if k in shared_time_keys:
                 if a.shape[-1] > t_c:
                     a = a[..., :t_c]
                 elif a.shape[-1] < t_c:
                     widths[-1] = (0, t_c - a.shape[-1])
+            elif k in pad_dims and a.shape[-1] < pad_dims[k]:
+                widths[-1] = (0, pad_dims[k] - a.shape[-1])
             if a.shape[0] < rows:
                 widths[0] = (0, rows - a.shape[0])
             if any(wd != (0, 0) for wd in widths):
                 a = np.pad(a, widths)
             out[k] = a
-        return shard_batch(out, self.mesh), b
+        return out
 
     # -- epochs ------------------------------------------------------------------
 
@@ -197,7 +260,9 @@ class ModelWrapper:
 
         last_grads = None
         for idx, batch in enumerate(dataloader, start=1):
-            dev_batch, real_b = self._device_batch(batch, ("clean", "noisy"))
+            dev_batch, real_b = self._device_batch(
+                batch, ("clean", "noisy"),
+                static_shapes=self._mh_static_train)
             self.state, metrics = self.train_step(self.state, dev_batch,
                                                   self._lrs())
             last_grads = metrics.pop("grads", None)

@@ -41,23 +41,34 @@ class ModelWrapper(BaseModelWrapper):
         self.infer_keys = ["clean", "noise", "noisy", "wav_len"]
 
     def _device_batch(self, batch: tp.Mapping[str, np.ndarray],
-                      keys: tp.Sequence[str]):
+                      keys: tp.Sequence[str], static_shapes: bool = False):
         """(clean, noise[, rir]) -> mixed (clean, noisy) on device; other
         modes (valid/pesq/infer use paired data) fall through to the base."""
         if "noise" not in batch:
-            return super()._device_batch(batch, keys)
+            return super()._device_batch(batch, keys, static_shapes)
         mix_keys = ("clean", "noise", "rir") if "rir" in batch \
             else ("clean", "noise")
         arrs = {k: batch[k] for k in mix_keys}
-        t = min(arrs[k].shape[-1] for k in ("clean", "noise"))
-        t = (t // self.hop_size) * self.hop_size
-        from ..parallel import pad_batch_to, shard_batch
-
-        arrs = {k: (a if k == "rir" else a[..., :t])
-                for k, a in arrs.items()}
         arrs["row_mask"] = np.ones(arrs["clean"].shape[0], np.float32)
-        padded, real_b = pad_batch_to(arrs, self.n_devices)
-        dev = shard_batch(padded, self.mesh)
+        from ..parallel import pad_batch_to, shard_batch
+        import jax
+
+        if jax.process_count() > 1:
+            # multihost: agree on global (rows, t) before assembling the
+            # per-process row blocks; `rir` pads to its own cross-host max
+            # (natural length, never cropped) — see ns._reconcile_multihost
+            real_b = arrs["clean"].shape[0]
+            arrs = self._reconcile_multihost(
+                arrs, shared_time_keys=("clean", "noise"),
+                static_shapes=static_shapes)
+            dev = shard_batch(arrs, self.mesh)
+        else:
+            t = min(arrs[k].shape[-1] for k in ("clean", "noise"))
+            t = (t // self.hop_size) * self.hop_size
+            arrs = {k: (a[..., :t] if k in ("clean", "noise") else a)
+                    for k, a in arrs.items()}
+            padded, real_b = pad_batch_to(arrs, self.n_devices)
+            dev = shard_batch(padded, self.mesh)
 
         snr, rms_target = self.snr_mixer.sample_params()
         rir = dev.get("rir")

@@ -56,13 +56,25 @@ class ModelWrapper(BaseModelWrapper):
         if batch.echo is not None:
             arrs["echo"] = batch.echo
             arrs["is_real"] = batch.is_real.astype(bool)
-        t = (arrs["speech"].shape[-1] // self.hop_size) * self.hop_size
-        for k in ("speech", "speech_clean", "noise", "echo"):
-            if k in arrs:
-                arrs[k] = arrs[k][..., :t]
         arrs["row_mask"] = np.ones(arrs["speech"].shape[0], np.float32)
-        padded, real_b = pad_batch_to(arrs, self.n_devices)
-        dev = shard_batch(padded, self.mesh)
+        shared = tuple(k for k in ("speech", "speech_clean", "noise", "echo")
+                       if k in arrs)
+        if jax.process_count() > 1:
+            # multihost: per-process duration-bucketed batches have
+            # different (rows, t) — agree on the global shape first
+            # (shared waveforms pad to the hop-floored cross-host max;
+            # `rir` pads to its own natural-length max; rows pad masked).
+            # See ns._reconcile_multihost. Never static: bucketing draws
+            # differ per step by design.
+            real_b = arrs["speech"].shape[0]
+            arrs = self._reconcile_multihost(arrs, shared_time_keys=shared)
+            dev = shard_batch(arrs, self.mesh)
+        else:
+            t = (arrs["speech"].shape[-1] // self.hop_size) * self.hop_size
+            for k in shared:
+                arrs[k] = arrs[k][..., :t]
+            padded, real_b = pad_batch_to(arrs, self.n_devices)
+            dev = shard_batch(padded, self.mesh)
         self._mix_key, sub = jax.random.split(self._mix_key)
         mixed = self.mixer(
             sub, dev["speech"], dev["speech_clean"], dev.get("noise"),
