@@ -15,7 +15,8 @@ import typing as tp
 
 import numpy as np
 
-SCOREQ_CACHE = os.path.expanduser("~/.cache/scoreq")
+SCOREQ_CACHE = os.environ.get("SCOREQ_CACHE",
+                              os.path.expanduser("~/.cache/scoreq"))
 SCOREQ_URLS = {
     # reference: utils/scoreq_onnx.py:92-115 (Zenodo-hosted ONNX exports)
     "nr": "https://zenodo.org/records/13860326/files/scoreq_nr.onnx",
@@ -23,8 +24,10 @@ SCOREQ_URLS = {
 }
 
 
-def dnsmos(wav: np.ndarray, sr: int = 16_000) -> tp.Dict[str, float]:
-    """DNSMOS P.808 + P.835 (reference: scripts/metrics_ns.py:87-92)."""
+def make_dnsmos(sr: int = 16_000) -> tp.Callable[[np.ndarray],
+                                                 tp.Dict[str, float]]:
+    """One-time DNSMOS scorer construction (the reference builds the
+    torchmetrics module once per run, scripts/metrics_ns.py:87-92)."""
     try:
         from torchmetrics.audio.dnsmos import DeepNoiseSuppressionMeanOpinionScore
     except ImportError as e:
@@ -34,9 +37,18 @@ def dnsmos(wav: np.ndarray, sr: int = 16_000) -> tp.Dict[str, float]:
     import torch
 
     scorer = DeepNoiseSuppressionMeanOpinionScore(fs=sr, personalized=False)
-    p808, sig, bak, ovr = scorer(torch.from_numpy(np.asarray(wav)))
-    return {"p808": float(p808), "sig": float(sig), "bak": float(bak),
-            "ovrl": float(ovr)}
+
+    def score(wav: np.ndarray) -> tp.Dict[str, float]:
+        p808, sig, bak, ovr = scorer(torch.from_numpy(np.asarray(wav)))
+        return {"p808": float(p808), "sig": float(sig), "bak": float(bak),
+                "ovrl": float(ovr)}
+
+    return score
+
+
+def dnsmos(wav: np.ndarray, sr: int = 16_000) -> tp.Dict[str, float]:
+    """DNSMOS P.808 + P.835, one-shot form."""
+    return make_dnsmos(sr)(wav)
 
 
 class ScoreqONNX:
@@ -78,8 +90,9 @@ class ScoreqONNX:
         return float(self.sess.run(None, feeds)[0])
 
 
-def wer(reference_text: str, wav: np.ndarray, sr: int = 16_000) -> float:
-    """Whisper-turbo WER (reference: scripts/metrics_ns.py:104-111,156-165)."""
+def make_wer() -> tp.Callable[[str, np.ndarray], float]:
+    """One-time Whisper-turbo WER scorer construction (the reference loads
+    the model once per run, scripts/metrics_ns.py:104-111)."""
     try:
         import whisper
         import jiwer
@@ -88,7 +101,17 @@ def wer(reference_text: str, wav: np.ndarray, sr: int = 16_000) -> float:
             "WER needs openai-whisper + jiwer (absent in this environment; "
             "the whisper checkpoint also needs network access)") from e
     model = whisper.load_model("turbo")
-    hyp = model.transcribe(np.asarray(wav, np.float32))["text"]
     norm = jiwer.Compose([jiwer.ToLowerCase(), jiwer.RemovePunctuation(),
                           jiwer.RemoveMultipleSpaces(), jiwer.Strip()])
-    return float(jiwer.wer(norm(reference_text), norm(hyp)))
+
+    def score(reference_text: str, wav: np.ndarray) -> float:
+        hyp = model.transcribe(np.asarray(wav, np.float32))["text"]
+        return float(jiwer.wer(norm(reference_text), norm(hyp)))
+
+    return score
+
+
+def wer(reference_text: str, wav: np.ndarray, sr: int = 16_000) -> float:
+    """Whisper-turbo WER, one-shot form (reference:
+    scripts/metrics_ns.py:104-111,156-165)."""
+    return make_wer()(reference_text, wav)

@@ -141,6 +141,12 @@ def smoke_run(corpus, tmp_path_factory):
     cfg["data"]["infer"]["files"] = ["f00"]
     cfg["data"]["train"]["segment_size"] = 4096
     cfg["data"]["valid"]["segment_size"] = 4096
+    # transcripts for the --wer eval path (read only when "transcript" is
+    # requested, reference utils/data/noise_suppression.py:88-96)
+    transcripts = root / "transcripts.txt"
+    transcripts.write_text("".join(
+        f"f{i:02d}|the quick brown fox\n" for i in range(8)))
+    cfg["data"]["pesq"]["transcript_dir"] = str(transcripts)
     # tiny model for speed
     cfg["model_kwargs"].update({"channels": 8, "kernel_size": [4, 3]})
     cfg["model_kwargs"]["rnnformer_kwargs"].update(
@@ -274,6 +280,103 @@ def test_metrics_ns_cli(smoke_run):
     assert -1.0 <= scores["STOI"] <= 1.0
     # PESQ always scores now (native P.862 provider when the C lib is absent)
     assert 1.0 <= scores["PESQ"] <= 4.7
+
+
+def _write_external_stubs(root):
+    """Stub backend packages for the gated external metrics so the CLI's
+    DNSMOS/SCOREQ/WER wiring can run end-to-end without the real models
+    (the env has neither the packages nor network access — reference gates
+    identically). Values are fixed so the output means are assertable."""
+    tm = root / "torchmetrics"
+    (tm / "audio").mkdir(parents=True)
+    (tm / "__init__.py").write_text("")
+    (tm / "audio" / "__init__.py").write_text("")
+    (tm / "audio" / "dnsmos.py").write_text(
+        "import torch\n"
+        "class DeepNoiseSuppressionMeanOpinionScore:\n"
+        "    def __init__(self, fs, personalized):\n"
+        "        assert fs == 16000 and personalized is False\n"
+        "    def __call__(self, wav):\n"
+        "        assert wav.ndim == 1 and wav.numel() > 0\n"
+        "        return torch.tensor([3.5, 3.3, 4.0, 3.1])\n")
+    ort = root / "onnxruntime"
+    ort.mkdir()
+    (ort / "__init__.py").write_text(
+        "import numpy as np\n"
+        "class InferenceSession:\n"
+        "    def __init__(self, path):\n"
+        "        self.path = path\n"
+        "    def run(self, outs, feeds):\n"
+        "        assert feeds['test'].shape[1] % 320 == 0\n"
+        "        assert feeds['ref'].shape[1] % 320 == 0\n"
+        "        return [np.float32(0.42)]\n")
+    wh = root / "whisper"
+    wh.mkdir()
+    (wh / "__init__.py").write_text(
+        "class _M:\n"
+        "    def transcribe(self, wav):\n"
+        "        return {'text': ' The quick, brown FOX '}\n"
+        "def load_model(name):\n"
+        "    assert name == 'turbo'\n"
+        "    return _M()\n")
+    jw = root / "jiwer"
+    jw.mkdir()
+    (jw / "__init__.py").write_text(
+        "ToLowerCase = lambda: str.lower\n"
+        "RemovePunctuation = lambda: (lambda s: ''.join(\n"
+        "    c for c in s if c.isalnum() or c.isspace()))\n"
+        "RemoveMultipleSpaces = lambda: (lambda s: ' '.join(s.split()))\n"
+        "Strip = lambda: str.strip\n"
+        "def Compose(fns):\n"
+        "    def run(s):\n"
+        "        for f in fns: s = f(s)\n"
+        "        return s\n"
+        "    return run\n"
+        "def wer(ref, hyp):\n"
+        "    r, h = ref.split(), hyp.split()\n"
+        "    n = max(len(r), 1)\n"
+        "    return sum(a != b for a, b in zip(r, h)) / n\n")
+
+
+def test_metrics_ns_cli_external_backends(smoke_run, tmp_path):
+    """scripts.metrics_ns wires DNSMOS/SCOREQ/WER through
+    metrics/external.py when the backends import (stubbed here; the
+    reference wires them at scripts/metrics_ns.py:87-111,156-174)."""
+    stubs = tmp_path / "stubs"
+    stubs.mkdir()
+    _write_external_stubs(stubs)
+    scoreq_cache = tmp_path / "scoreq_cache"
+    scoreq_cache.mkdir()
+    (scoreq_cache / "scoreq_nmr.onnx").write_bytes(b"fake")  # skip download
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=str(stubs) + os.pathsep
+               + os.environ.get("PYTHONPATH", ""),
+               SCOREQ_CACHE=str(scoreq_cache))
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.metrics_ns", "-n", "smoke",
+         "--base_dir", str(smoke_run / "logs"), "--max-items", "3", "--wer"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    scores = {}
+    for line in r.stdout.splitlines():
+        if ":" in line:
+            k, _, v = line.strip().partition(":")
+            try:
+                scores[k.strip()] = float(v.split()[0])
+            except (ValueError, IndexError):
+                pass
+    # stubbed DNSMOS returns fixed (p808, sig, bak, ovrl)
+    assert scores["P808"] == pytest.approx(3.5)
+    assert scores["SIG"] == pytest.approx(3.3)
+    assert scores["BAK"] == pytest.approx(4.0)
+    assert scores["OVRL"] == pytest.approx(3.1)
+    assert scores["SCOREQ"] == pytest.approx(0.42, abs=1e-4)
+    # transcript is 'the quick brown fox', stub whisper transcribes the
+    # same text modulo case/punctuation -> WER 0 after normalization
+    assert scores["WER"] == pytest.approx(0.0)
+    # the standard suite still scores
+    for k in ("SISDR", "STOI", "ESTOI", "PESQ"):
+        assert k in scores and np.isfinite(scores[k]), (k, r.stdout)
 
 
 def test_serve_cli(smoke_run, corpus, tmp_path):
