@@ -111,10 +111,14 @@ def main():
     # VMEM (round 1 limited this to <=512 streams and rows <= 8192).
     # Multi-chip runs it per shard under shard_map. BENCH_FUSED=0 reverts
     # to the pure-XLA scan body; any compile failure falls back to XLA.
+    # bsrnn gets its own fused per-frame kernel (ops/bsrnn_stack.py): the
+    # whole 6-layer dual-path LSTM stack — time cell + 31-band bidirectional
+    # sweep — as ONE Pallas program (969 -> 539 us/frame at 256 streams)
     use_fused = (os.environ.get("BENCH_FUSED", "1") == "1" and chunk == 1
-                 and model_name in ("fastenhancer.default",
-                                    "fastenhancer.conv_stft")
-                 and not model.rf.post_act)
+                 and (model_name == "bsrnn"
+                      or (model_name in ("fastenhancer.default",
+                                         "fastenhancer.conv_stft")
+                          and not model.rf.post_act)))
     fused_plan = model.build_stack_plan(variables) if use_fused else None
     mesh = None
     if n_dev > 1:
@@ -133,7 +137,8 @@ def main():
             if fe_family:
                 return model.stream(v, w, chunk_frames=chunk, unroll=unroll,
                                     fused_plan=p)
-            assert p is None
+            if p is not None:  # bsrnn fused band-stack
+                return model.stream(v, w, chunk_frames=chunk, fused_plan=p)
             return model.stream(v, w, chunk_frames=chunk)
 
         if mesh is not None:

@@ -370,14 +370,22 @@ class Model:
 
     # -- streaming -----------------------------------------------------------------
 
-    def init_streaming_carry(self, batch: int, dtype=jnp.float32) -> Params:
+    def init_streaming_carry(self, batch: int, dtype=jnp.float32,
+                             fused: bool = False) -> Params:
         hdim = 2 * self.channels
+        if fused:
+            # stacked f-major layout for the fused band-stack kernel
+            # (ops/bsrnn_stack.py): [L, 2(h,c), F, B, H]
+            h = jnp.zeros((self.num_layers, 2, self.n_bands, batch, hdim),
+                          dtype)
+        else:
+            h = [(jnp.zeros((batch * self.n_bands, hdim), dtype),
+                  jnp.zeros((batch * self.n_bands, hdim), dtype))
+                 for _ in range(self.num_layers)]
         return {
             "stft": init_stft_carry(self.stft_cfg, batch, dtype),
             "istft": init_istft_carry(self.stft_cfg, batch, dtype),
-            "h": [(jnp.zeros((batch * self.n_bands, hdim), dtype),
-                   jnp.zeros((batch * self.n_bands, hdim), dtype))
-                  for _ in range(self.num_layers)],
+            "h": h,
         }
 
     def streaming_step(self, variables: Params, carry: Params, wav_hop: Array
@@ -392,6 +400,48 @@ class Model:
         wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"],
                                                 self.stft_cfg)
         return {"stft": stft_c, "istft": istft_c, "h": h_out}, wav_out
+
+    def build_stack_plan(self, variables: Params, dtype=None) -> Params:
+        """Kernel-ready stacked weights for the fused per-frame band-stack
+        kernel (ops/bsrnn_stack.py). Requires fold() output (pre-norm BNs
+        already fused into the LSTM input weights)."""
+        layers = variables["params"]["layers"]
+        if layers and layers[0].get("norm_time") is not None:
+            raise ValueError("build_stack_plan expects fold() output")
+        from ..ops.bsrnn_stack import plan_band_stack
+
+        return plan_band_stack(layers, dtype)
+
+    def streaming_step_fused(self, variables: Params, plan: Params,
+                             carry: Params, wav_hop: Array
+                             ) -> tp.Tuple[Params, Array]:
+        """streaming_step with the whole 6-layer dual-path LSTM stack as ONE
+        Pallas program (ops/bsrnn_stack.py) — the per-frame hot spot is the
+        6 x (1 + n_bands) sequential recurrence steps whose per-op issue
+        latency, not FLOPs, sets the frame time. Math matches
+        streaming_step on folded variables (tested). carry["h"] uses the
+        stacked f-major layout (init_streaming_carry(fused=True))."""
+        from ..ops.bsrnn_stack import bsrnn_stack_step
+
+        params, stats = variables["params"], variables["stats"]
+        spec, stft_c = stft_streaming_step(wav_hop, carry["stft"],
+                                           self.stft_cfg)
+        spec = compress(spec[:, :, None, :], self.input_compression)
+        x = self._band_split_eval(params["band_split"],
+                                  stats["band_split"], spec)  # [1, B, F, C]
+        xf = jnp.swapaxes(x[0], 0, 1)                         # [F, B, C]
+        xf, h_new = bsrnn_stack_step(plan, xf, carry["h"])
+        x = jnp.swapaxes(xf, 0, 1)[None]                      # [1, B, F, C]
+        x = x.transpose(1, 2, 3, 0)                           # [B, F, C, 1]
+        mask, res = self._mask_decoder_eval(params["mask_decoder"],
+                                            stats["mask_decoder"], x)
+        re = spec[..., 0] * mask[..., 0] - spec[..., 1] * mask[..., 1]
+        im = spec[..., 0] * mask[..., 1] + spec[..., 1] * mask[..., 0]
+        spec_hat = jnp.stack([re, im], axis=3) + res
+        spec_hat = uncompress(spec_hat, self.input_compression)[:, :, 0, :]
+        wav_out, istft_c = istft_streaming_step(spec_hat, carry["istft"],
+                                                self.stft_cfg)
+        return {"stft": stft_c, "istft": istft_c, "h": h_new}, wav_out
 
     def streaming_chunk(self, variables: Params, carry: Params,
                         wav_chunk: Array) -> tp.Tuple[Params, Array]:
@@ -411,10 +461,28 @@ class Model:
         return {"stft": stft_c, "istft": istft_c, "h": h_out}, wav_out
 
     def stream(self, variables: Params, wav: Array,
-               chunk_frames: int = 1) -> Array:
+               chunk_frames: int = 1,
+               fused_plan: tp.Optional[Params] = None) -> Array:
         b, length = wav.shape
         hop = self.hop_size
         t = length // hop
+        if fused_plan is not None:
+            if chunk_frames > 1:
+                raise ValueError(
+                    "fused_plan implies per-frame streaming "
+                    "(chunk_frames=1); the chunked form time-batches the "
+                    "stack in XLA already")
+            hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
+
+            def fstep(carry, x):
+                carry, y = self.streaming_step_fused(variables, fused_plan,
+                                                     carry, x)
+                return carry, y
+
+            _, outs = jax.lax.scan(
+                fstep, self.init_streaming_carry(b, wav.dtype, fused=True),
+                hops)
+            return outs.swapaxes(0, 1).reshape(b, -1)
         if chunk_frames > 1:
             t = (t // chunk_frames) * chunk_frames
             blocks = wav[:, : t * hop].reshape(

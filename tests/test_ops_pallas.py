@@ -390,3 +390,105 @@ def test_stack_softmax_underflow_yields_zero_not_nan():
                                   interpret=True)
     assert np.isfinite(np.asarray(y)).all()
     assert np.isfinite(np.asarray(h_t)).all()
+
+
+# -- fused BSRNN band-stack kernel (ops/bsrnn_stack.py) -----------------------
+
+def _tiny_bsrnn():
+    from fastenhancer_tpu.models import get_model
+
+    return get_model("bsrnn", num_channels=16, num_layers=2)
+
+
+def test_bsrnn_stream_fused_matches_stream():
+    """Whole-utterance streaming with the fused band-stack kernel must match
+    the XLA per-layer path on folded variables."""
+    model = _tiny_bsrnn()
+    folded = model.fold(model.init(jax.random.PRNGKey(0)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 256 * 6)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_bsrnn_stack_plan_rejects_unfolded():
+    import pytest
+
+    model = _tiny_bsrnn()
+    variables = model.init(jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="fold"):
+        model.build_stack_plan(variables)
+
+
+def test_bsrnn_stack_batch_tiling_matches_single_program():
+    """Grid-tiled streams must be bit-equal to the whole-batch program (rows
+    are f-major; a batch tile is the same contiguous column range of every
+    band)."""
+    from fastenhancer_tpu.ops.bsrnn_stack import (plan_band_stack,
+                                                  bsrnn_stack_step)
+
+    model = _tiny_bsrnn()
+    folded = model.fold(model.init(jax.random.PRNGKey(2)))
+    plan = plan_band_stack(folded["params"]["layers"])
+    fb, b, c, hd = model.n_bands, 6, model.channels, 2 * model.channels
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((fb, b, c)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal(
+        (model.num_layers, 2, fb, b, hd)) * 0.1, jnp.float32)
+    x_ref, h_ref = bsrnn_stack_step(plan, x, h, interpret=True, batch_tile=b)
+    for tile in (1, 2, 3):
+        x_t, h_t = bsrnn_stack_step(plan, x, h, interpret=True,
+                                    batch_tile=tile)
+        np.testing.assert_array_equal(np.asarray(x_t), np.asarray(x_ref))
+        np.testing.assert_array_equal(np.asarray(h_t), np.asarray(h_ref))
+
+
+def test_bsrnn_stack_carry_roundtrip_matches_layer_loop():
+    """The kernel's (h, c) carry updates must equal fnn.lstm's over several
+    chained frames (the carry is the only cross-frame state)."""
+    from fastenhancer_tpu.ops.bsrnn_stack import (plan_band_stack,
+                                                  bsrnn_stack_step)
+    import fastenhancer_tpu.nn as fnn
+
+    model = _tiny_bsrnn()
+    folded = model.fold(model.init(jax.random.PRNGKey(3)))
+    layers = folded["params"]["layers"]
+    plan = plan_band_stack(layers)
+    fb, b, c, hd = model.n_bands, 2, model.channels, 2 * model.channels
+    rng = np.random.default_rng(3)
+
+    h_k = jnp.zeros((model.num_layers, 2, fb, b, hd), jnp.float32)
+    hc_ref = [(jnp.zeros((b * fb, hd)), jnp.zeros((b * fb, hd)))
+              for _ in range(model.num_layers)]
+    for _ in range(3):
+        xb = rng.standard_normal((1, b, fb, c)).astype(np.float32)
+        # kernel (f-major)
+        xf = jnp.asarray(xb[0]).swapaxes(0, 1)
+        yf, h_k = bsrnn_stack_step(plan, xf, h_k, interpret=True)
+        # XLA layer loop (b-major, mirrors model_forward's eval layer body)
+        x = jnp.asarray(xb)
+        t = 1
+        for i, p in enumerate(layers):
+            skip = x
+            y = x.reshape(t, b * fb, c)
+            y, hc = fnn.lstm(p["rnn_time"], y, hc_ref[i])
+            hc_ref[i] = hc
+            y = fnn.linear(p["fc_time"], y)
+            x = y.reshape(t, b, fb, c) + skip
+            skip = x
+            y = x.reshape(t * b, fb, c).swapaxes(0, 1)
+            y = fnn.bilstm(p["rnn_freq"], y)
+            y = y.swapaxes(0, 1).reshape(t, b, fb, 4 * c)
+            y = fnn.linear(p["fc_freq"], y)
+            x = y + skip
+        np.testing.assert_allclose(np.asarray(yf.swapaxes(0, 1)),
+                                   np.asarray(x[0]), atol=1e-5)
+        # carries: kernel rows are f-major [F, B], loop rows b-major [B*F]
+        for i in range(model.num_layers):
+            for j, which in enumerate(hc_ref[i]):
+                ref = np.asarray(which).reshape(b, fb, hd).swapaxes(0, 1)
+                np.testing.assert_allclose(np.asarray(h_k[i, j]), ref,
+                                           atol=1e-5)
