@@ -114,10 +114,17 @@ def main():
     # bsrnn gets its own fused per-frame kernel (ops/bsrnn_stack.py): the
     # whole 6-layer dual-path LSTM stack — time cell + 31-band bidirectional
     # sweep — as ONE Pallas program (969 -> 539 us/frame at 256 streams)
+    # dptransformer gets its own fused per-frame kernel (ops/dpt_stack.py):
+    # causal local time attention with a rotating slot-pointer K/V cache
+    # instead of the XLA path's per-frame concat+reslice cache rewrite;
+    # the ln ablation runs the same RNNFormer stack kernel with its
+    # unfoldable LayerNorms applied inline (plan_stack ln_eps=...)
     use_fused = (os.environ.get("BENCH_FUSED", "1") == "1" and chunk == 1
                  and (model_name == "bsrnn"
                       or (model_name in ("fastenhancer.default",
-                                         "fastenhancer.conv_stft")
+                                         "fastenhancer.conv_stft",
+                                         "fastenhancer.dptransformer",
+                                         "fastenhancer.ln")
                           and not model.rf.post_act)))
     fused_plan = model.build_stack_plan(variables) if use_fused else None
     mesh = None

@@ -750,15 +750,21 @@ class Model:
 
     # -- streaming --------------------------------------------------------------
 
-    def init_streaming_carry(self, batch: int, dtype=jnp.float32) -> Params:
+    def init_streaming_carry(self, batch: int, dtype=jnp.float32,
+                             fused: bool = False) -> Params:
         """Carry pytree replacing the reference ONNX cache list
-        (reference: scripts/export_onnx.py:38-58)."""
-        return {
+        (reference: scripts/export_onnx.py:38-58). fused=True returns the
+        layout the fused Pallas stack step consumes (block carries stacked
+        [NB, B*F, C]; variants with a different fused state override)."""
+        carry = {
             "stft": init_stft_carry(self.stft_cfg, batch, dtype),
             "istft": init_istft_carry(self.stft_cfg, batch, dtype),
             "h": [self._block_carry_init(batch, dtype)
                   for _ in range(self.num_blocks)],
         }
+        if fused:
+            carry["h"] = jnp.stack(carry["h"])
+        return carry
 
     def _block_carry_init(self, batch: int, dtype) -> Array:
         return jnp.zeros((batch * self.block_freq, self.block_channels), dtype)
@@ -926,8 +932,7 @@ class Model:
                 "a fused chunked scan is not implemented")
         if fused_plan is not None:
             hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
-            carry0 = self.init_streaming_carry(b, wav.dtype)
-            carry0["h"] = jnp.stack(carry0["h"])  # kernel carries stacked h
+            carry0 = self.init_streaming_carry(b, wav.dtype, fused=True)
 
             def fstep(carry, x):
                 carry, y = self.streaming_step_fused(variables, fused_plan,

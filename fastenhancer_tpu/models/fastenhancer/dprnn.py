@@ -176,6 +176,68 @@ class Model(DefaultModel):
         x = y + x_in
         return x, h_t, new_s
 
+    # -- fused-stack streaming (Pallas) ---------------------------------------
+
+    def init_streaming_carry(self, batch: int, dtype=jnp.float32,
+                             fused: bool = False) -> Params:
+        if not fused:
+            return super().init_streaming_carry(batch, dtype)
+        # stacked time-GRU carries in the kernel's FREQUENCY-MAJOR row
+        # order (ops/dprnn_stack.py: band rows contiguous for the sweep)
+        from ...functional import init_stft_carry, init_istft_carry
+
+        dp = self.dp
+        return {
+            "stft": init_stft_carry(self.stft_cfg, batch, dtype),
+            "istft": init_istft_carry(self.stft_cfg, batch, dtype),
+            "h": jnp.zeros((dp.num_blocks, dp.freq, batch, dp.channels),
+                           dtype),
+        }
+
+    def build_stack_plan(self, variables: Params, dtype=None) -> Params:
+        """Pack FOLDED rf_blocks params for the fused Pallas dprnn stack
+        kernel (ops/dprnn_stack.py). `variables` must be Model.fold()
+        output — the kernel implements only the deploy-time block form
+        (post-BNs merged into the fcs, pre-norms into the GRU weights)."""
+        from ...ops.dprnn_stack import plan_dprnn_stack
+
+        for bs in variables["stats"]["rf_blocks"]:
+            if bs:  # non-empty stats == unfolded BN still present
+                raise ValueError("build_stack_plan expects fold() output")
+        plan = plan_dprnn_stack(variables["params"]["rf_blocks"])
+        if dtype is not None:
+            plan = jax.tree.map(lambda a: a.astype(dtype), plan)
+        return plan
+
+    def model_forward_fused(
+        self, variables: Params, plan: Params, spec: Array, h: Array
+    ) -> tp.Tuple[Array, Array]:
+        """model_forward (one frame, inference) with the block stack as one
+        Pallas program. spec: compressed [B, F, 1, 2]; h: stacked f-major
+        [NB, F', B, C] GRU carries. Returns (mask, h_t)."""
+        from ...ops.dprnn_stack import dprnn_stack_step
+
+        params, stats = variables["params"], variables["stats"]
+        x, x_res, skips, b, t, _ = self._encode(params, stats, spec,
+                                                train=False)
+        # kernel rows are f-major: one cheap XLA transpose each way
+        y, h_t = dprnn_stack_step(plan, x[0].swapaxes(0, 1), h)
+        mask = self._decode(params, stats, stats, y.swapaxes(0, 1)[None],
+                            x_res, skips, b, t, spec.shape[1], train=False)
+        return mask, h_t
+
+    def streaming_step_fused(
+        self, variables: Params, plan: Params, carry: Params, wav_hop: Array
+    ) -> tp.Tuple[Params, Array]:
+        """streaming_step with the block stack fused into one Pallas
+        program. Math matches streaming_step on folded variables (tested);
+        carry uses the fused f-major layout
+        (init_streaming_carry(fused=True))."""
+        spec, stft_c = self._stream_front(carry, wav_hop)
+        mask, h_t = self.model_forward_fused(variables, plan, spec,
+                                             carry["h"])
+        return self._stream_back(spec, mask, carry, stft_c, h_t)
+
     def _block_fold(self, bp: Params, bs: Params) -> Params:
         eps = self.dp.eps
         nb: Params = {

@@ -266,6 +266,98 @@ class Model(DefaultModel):
                  cfg.channels // cfg.num_heads)
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
+    # -- fused-stack streaming (Pallas) ---------------------------------------
+
+    def init_streaming_carry(self, batch: int, dtype=jnp.float32,
+                             fused: bool = False) -> Params:
+        if not fused:
+            return super().init_streaming_carry(batch, dtype)
+        # rotating-slot K/V caches for the fused dpt stack kernel
+        # (ops/dpt_stack.py): [NB, L, C, B*Fp] channel-major (rows b-major
+        # on the lane axis) plus a shared slot pointer. A freshly zeroed
+        # cache is correct at ANY pointer value (zero keys reproduce the
+        # XLA concat path's cold-start semantics), which is what makes
+        # per-slot resets in the serving engine sound while other streams
+        # keep their history.
+        from ...functional import init_stft_carry, init_istft_carry
+        from ...ops.rnnformer_stack import pad_freq
+
+        cfg = self.dpt
+        rows = batch * pad_freq(cfg.freq)
+        shape = (cfg.num_blocks, cfg.lookbehind, cfg.channels, rows)
+        return {
+            "stft": init_stft_carry(self.stft_cfg, batch, dtype),
+            "istft": init_istft_carry(self.stft_cfg, batch, dtype),
+            "kc": jnp.zeros(shape, dtype),
+            "vc": jnp.zeros(shape, dtype),
+            "ptr": jnp.zeros((), jnp.int32),
+        }
+
+    def build_stack_plan(self, variables: Params, dtype=None) -> Params:
+        """Pack FOLDED variables for the fused Pallas dpt stack kernel
+        (ops/dpt_stack.py). `variables` must be Model.fold() output — the
+        kernel implements only the deploy-time block form (post-BNs merged
+        into the fcs, optional pre-norms into qkv, post_act=False)."""
+        if self.dpt.post_act:
+            raise NotImplementedError("fused dpt stack: post_act recipes")
+        from ...ops.dpt_stack import plan_dpt_stack
+
+        for bs in variables["stats"]["rf_blocks"]:
+            if bs:  # non-empty stats == unfolded BN still present
+                raise ValueError("build_stack_plan expects fold() output")
+        plan = plan_dpt_stack(variables["params"]["rf_blocks"],
+                              variables["params"]["time_pe"]["weight"],
+                              self.dpt.freq, self.dpt.num_heads,
+                              self.dpt.lookbehind)
+        if dtype is not None:
+            plan = jax.tree.map(lambda a: a.astype(dtype), plan)
+        return plan
+
+    def model_forward_fused(
+        self, variables: Params, plan: Params, spec: Array,
+        kc: Array, vc: Array, bias_lanes: Array,
+    ) -> tp.Tuple[Array, Array, Array]:
+        """model_forward (one frame, inference) with the block stack as one
+        Pallas program. spec: compressed [B, F, 1, 2]; kc/vc: rotating K/V
+        caches [NB, L, B*Fp, C]; bias_lanes: per-frame pe bias
+        (ops.dpt_stack.bias_lanes_for_ptr). Returns (mask, k_new, v_new)."""
+        from ...ops.dpt_stack import dpt_stack_step
+
+        params, stats = variables["params"], variables["stats"]
+        x, x_res, skips, b, t, _ = self._encode(params, stats, spec,
+                                                train=False)
+        y, k_new, v_new = dpt_stack_step(plan, x[0], kc, vc, bias_lanes,
+                                         self.dpt.num_heads,
+                                         self.dpt.lookbehind)
+        mask = self._decode(params, stats, stats, y[None], x_res, skips, b, t,
+                            spec.shape[1], train=False)
+        return mask, k_new, v_new
+
+    def streaming_step_fused(
+        self, variables: Params, plan: Params, carry: Params, wav_hop: Array
+    ) -> tp.Tuple[Params, Array]:
+        """streaming_step with the block stack fused into one Pallas program
+        and the K/V shift replaced by a rotating slot write (ONE
+        dynamic_update_slice per cache on the donated carry instead of the
+        XLA path's full concat+reslice rewrite). Math matches streaming_step
+        on folded variables (tested). carry uses the fused layout
+        (init_streaming_carry(fused=True))."""
+        from ...ops.dpt_stack import bias_lanes_for_ptr
+
+        lb = self.dpt.lookbehind
+        spec, stft_c = self._stream_front(carry, wav_hop)
+        ptr = carry["ptr"]
+        bias = bias_lanes_for_ptr(plan["time_pe"], ptr, lb)
+        mask, k_new, v_new = self.model_forward_fused(
+            variables, plan, spec, carry["kc"], carry["vc"], bias)
+        kc = jax.lax.dynamic_update_slice(carry["kc"], k_new[:, None],
+                                          (0, ptr, 0, 0))
+        vc = jax.lax.dynamic_update_slice(carry["vc"], v_new[:, None],
+                                          (0, ptr, 0, 0))
+        base, wav_out = self._stream_back(spec, mask, carry, stft_c, None)
+        return {"stft": base["stft"], "istft": base["istft"],
+                "kc": kc, "vc": vc, "ptr": (ptr + 1) % lb}, wav_out
+
     def _block_fold(self, bp: Params, bs: Params) -> Params:
         eps = self.dpt.eps
         plain = fnn.maybe_wn_weight

@@ -162,6 +162,25 @@ class Model(DefaultModel):
         out["dec_post"]["convt"] = convt
         return {"params": out, "stats": variables["stats"]}
 
+    def build_stack_plan(self, variables: Params, dtype=None) -> Params:
+        """Pack FOLDED rf_blocks params for the fused Pallas stack kernel in
+        its LN-ablation form (ops/rnnformer_stack.py plan_stack ln_eps=...):
+        the sample-local LayerNorms cannot fold, so the kernel applies them
+        inline after each fc. Inherits streaming_step_fused /
+        model_forward_fused / stream(fused_plan=...) from the default model
+        unchanged — only the plan differs."""
+        if self.rf.post_act:
+            raise NotImplementedError("fused ln stack: post_act recipes")
+        if self.rf.pre_norm:
+            raise NotImplementedError("fused ln stack: pre_norm recipes")
+        from ...ops.rnnformer_stack import plan_stack
+
+        plan = plan_stack(variables["params"]["rf_blocks"], self.block_freq,
+                          self.rf.num_heads, ln_eps=self.rf.eps)
+        if dtype is not None:
+            plan = jax.tree.map(lambda a: a.astype(dtype), plan)
+        return plan
+
     def torch_name(self, path: tp.Tuple[str, ...]) -> tp.Optional[str]:
         # GroupNorm replaces BN at the same sequential indices; LayerNorm
         # params live at the same block attribute names.

@@ -95,7 +95,9 @@ class StreamingEngine:
       model: any model exposing `init_streaming_carry(batch, dtype)` and
         `streaming_step(variables, carry, hops)` (the whole zoo does); for
         `fused=True` it must also expose `build_stack_plan` /
-        `streaming_step_fused` (fastenhancer family, folded variables).
+        `streaming_step_fused` / `init_streaming_carry(..., fused=True)`
+        (fastenhancer default/conv_stft/dptransformer and bsrnn, folded
+        variables).
       variables: parameter pytree (fold()ed when fused=True).
       capacity: slot count == compiled batch size. Must be >= 2 (the slot
         axis of each carry leaf is inferred from how shapes scale with it).
@@ -117,17 +119,22 @@ class StreamingEngine:
         self.hop = model.stft_cfg.hop_size
         self.delay_samples = model.stft_cfg.n_fft - self.hop
         self._variables = variables
-        self._carry = model.init_streaming_carry(capacity, dtype)
-        one = model.init_streaming_carry(1, dtype)
         if fused:
-            # the fused step takes/returns the block carries STACKED
-            # ([NB, B*F, C]) where init_streaming_carry provides a list;
-            # canonicalize BEFORE inferring treedef/slot axes so the carry
-            # structure is stable across ticks (shard_map out_specs and
-            # _reset_impl both depend on it)
-            for c in (self._carry, one):
-                if isinstance(c.get("h"), (list, tuple)):
-                    c["h"] = jnp.stack(c["h"])
+            # the fused step takes/returns its own carry layout (stacked
+            # block carries for the GRU family, rotating-slot K/V caches +
+            # shared pointer for dptransformer, stacked f-major (h, c) for
+            # bsrnn) — ask the model for it BEFORE inferring treedef/slot
+            # axes so the carry structure is stable across ticks (shard_map
+            # out_specs and _reset_impl both depend on it). Leaves whose
+            # shape does not scale with capacity (e.g. dpt's slot pointer)
+            # get slot axis None and are left untouched by per-slot resets
+            # — sound because a zeroed K/V slot is correct at ANY pointer.
+            self._carry = model.init_streaming_carry(capacity, dtype,
+                                                     fused=True)
+            one = model.init_streaming_carry(1, dtype, fused=True)
+        else:
+            self._carry = model.init_streaming_carry(capacity, dtype)
+            one = model.init_streaming_carry(1, dtype)
         full_leaves, treedef = jax.tree.flatten(self._carry)
         one_leaves = treedef.flatten_up_to(one)
         self._axes = _slot_axes(one_leaves, full_leaves, capacity)

@@ -492,3 +492,170 @@ def test_bsrnn_stack_carry_roundtrip_matches_layer_loop():
                 ref = np.asarray(which).reshape(b, fb, hd).swapaxes(0, 1)
                 np.testing.assert_allclose(np.asarray(h_k[i, j]), ref,
                                            atol=1e-5)
+
+
+# -- fused dptransformer stack kernel (ops/dpt_stack.py) ----------------------
+
+def _tiny_dpt(freq=8, lookbehind=5, pre_norm=False):
+    from fastenhancer_tpu.models.fastenhancer.dptransformer import Model
+
+    return Model(
+        channels=12, kernel_size=[4, 3], stride=4,
+        dpt_kwargs=dict(num_blocks=2, channels=8, freq=freq, num_heads=2,
+                        lookbehind=lookbehind, positional_embedding="train",
+                        pre_norm=pre_norm),
+        n_fft=128, hop_size=64, win_size=128, window="hann",
+        weight_norm=True, pre_post_init="linear_fixed",
+    )
+
+
+def test_dpt_stream_fused_matches_stream():
+    """Whole-utterance streaming with the fused dpt stack kernel (rotating
+    slot-pointer K/V cache) must match the XLA concat-cache path on folded
+    variables — including the first L cold-start frames (zero-key
+    semantics) and several pointer wrap-arounds."""
+    model = _tiny_dpt()
+    folded = model.fold(model.init(jax.random.PRNGKey(0)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((3, 64 * 14)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_dpt_stream_fused_pre_norm_fold():
+    """pre_norm recipes fold the pre-BN into the qkv weights (+bias); the
+    fused kernel must consume that form unchanged."""
+    model = _tiny_dpt(pre_norm=True)
+    variables = model.init(jax.random.PRNGKey(1))
+    # make the pre-norm stats non-trivial before folding
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 64 * 8)).astype(np.float32))
+    _, _, new_stats = model.forward(variables, wav, train=True)
+    folded = model.fold({"params": variables["params"], "stats": new_stats})
+    plan = model.build_stack_plan(folded)
+    wav = jnp.asarray(rng.standard_normal((2, 64 * 10)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_dpt_stack_padded_freq_rows_isolated():
+    """A non-8-aligned block freq pads to a multiple of 16 inside the
+    kernel; padded rows are junk-but-isolated and must not leak into real
+    rows (freq-attention key mask + per-row time attention)."""
+    model = _tiny_dpt(freq=10)
+    folded = model.fold(model.init(jax.random.PRNGKey(2)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.standard_normal((2, 64 * 9)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_dpt_stack_batch_tiling_matches_single_program():
+    """Grid-tiled streams must match the whole-batch program. Per-stream
+    math is tile-independent, but the interpreter's CPU GEMMs reassociate
+    f32 accumulation with the N (rows) extent, so the bound is f32 rounding
+    rather than bit equality (the rnnformer/bsrnn kernels' row-local VPU
+    reductions stay bit-exact; the dpt time attention is matmul-folded)."""
+    from fastenhancer_tpu.ops.dpt_stack import (plan_dpt_stack,
+                                                dpt_stack_step,
+                                                bias_lanes_for_ptr)
+
+    model = _tiny_dpt()
+    folded = model.fold(model.init(jax.random.PRNGKey(3)))
+    cfg = model.dpt
+    plan = plan_dpt_stack(folded["params"]["rf_blocks"],
+                          folded["params"]["time_pe"]["weight"],
+                          cfg.freq, cfg.num_heads, cfg.lookbehind)
+    b, f, c = 6, cfg.freq, cfg.channels
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, f, c)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal(
+        (cfg.num_blocks, cfg.lookbehind, c, b * f)) * 0.1, jnp.float32)
+    vc = jnp.asarray(rng.standard_normal(kc.shape) * 0.1, jnp.float32)
+    bias = bias_lanes_for_ptr(plan["time_pe"], jnp.int32(2), cfg.lookbehind)
+    ref = dpt_stack_step(plan, x, kc, vc, bias, cfg.num_heads,
+                         cfg.lookbehind, interpret=True, batch_tile=b)
+    for tile in (1, 2, 3):
+        out = dpt_stack_step(plan, x, kc, vc, bias, cfg.num_heads,
+                             cfg.lookbehind, interpret=True, batch_tile=tile)
+        for a, r in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_dpt_stack_plan_rejects_unfolded():
+    import pytest
+
+    model = _tiny_dpt()
+    variables = model.init(jax.random.PRNGKey(4))
+    with pytest.raises(ValueError, match="fold"):
+        model.build_stack_plan(variables)
+
+
+# -- fused stack kernel, LN-ablation form (plan_stack ln_eps=...) -------------
+
+def _tiny_ln(freq=8):
+    from fastenhancer_tpu.models.fastenhancer.ln import Model
+
+    return Model(
+        channels=12, kernel_size=[4, 3], stride=4,
+        rnnformer_kwargs=dict(num_blocks=2, channels=8, freq=freq,
+                              num_heads=2, positional_embedding="train"),
+        n_fft=128, hop_size=64, win_size=128, window="hann",
+        weight_norm=True, pre_post_init="linear_fixed",
+    )
+
+
+def test_ln_stream_fused_matches_stream():
+    """The ln ablation's LayerNorms cannot fold — the fused kernel applies
+    them inline ([F, C] statistics per sample, reference affine quirk
+    included). Whole-utterance fused streaming must match the XLA path."""
+    model = _tiny_ln()
+    variables = model.init(jax.random.PRNGKey(0))
+    # non-trivial LN affine params so the quirky diff + inv*w*b term bites
+    rng = np.random.default_rng(0)
+    for bp in variables["params"]["rf_blocks"]:
+        for name in ("rnn_post_norm", "attn_post_norm"):
+            bp[name]["ln"]["weight"] = jnp.asarray(
+                1.0 + 0.2 * rng.standard_normal(8), jnp.float32)
+            bp[name]["ln"]["bias"] = jnp.asarray(
+                0.1 * rng.standard_normal(8), jnp.float32)
+    folded = model.fold(variables)
+    plan = model.build_stack_plan(folded)
+    wav = jnp.asarray(rng.standard_normal((3, 64 * 10)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_ln_stack_padded_freq_excluded_from_ln_stats():
+    """With a non-8-aligned block freq the kernel pads rows; the LN
+    statistics must exclude the padded rows (fmask) or every real value
+    shifts. Parity against the XLA path catches any leak."""
+    model = _tiny_ln(freq=10)
+    folded = model.fold(model.init(jax.random.PRNGKey(1)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 64 * 8)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_plan_stack_rejects_weight_norm():
+    import pytest
+
+    model = _tiny_ln()
+    variables = model.init(jax.random.PRNGKey(2))  # weight-normed, unfolded
+    with pytest.raises(ValueError, match="fold"):
+        model.build_stack_plan(variables)

@@ -262,3 +262,31 @@ def test_fused_engine_matches_unfused():
     got_plain = plain.run_stream(hp, wav)
     got_fused = fused.run_stream(hf, wav)
     np.testing.assert_allclose(got_fused, got_plain, atol=5e-5)
+
+
+def test_fused_engine_dpt_slot_reset_with_shared_pointer():
+    """dptransformer fused serving: the carry is rotating-slot K/V caches
+    plus ONE shared slot pointer. A stream joining mid-run (nonzero pointer,
+    zeroed slot) must produce exactly the output it would get from a fresh
+    engine — zero-key cold-start semantics are pointer-invariant — and the
+    fused engine must match the unfused one throughout."""
+    model, variables = _build("fastenhancer.dptransformer", DPT_KWARGS)
+    folded = model.fold(variables)
+    wav_bg, wav = _wav(14, 41), _wav(10, 42)
+
+    fused = StreamingEngine(model, folded, capacity=2, fused=True)
+    hb = fused.open_stream()
+    # advance the shared pointer past a wrap (lookbehind=7) before joining
+    for i in range(9):
+        fused.tick({hb: wav_bg[i * HOP:(i + 1) * HOP]})
+    hj = fused.open_stream()
+    got = np.concatenate([
+        fused.tick({hb: wav_bg[(9 + i) * HOP:(10 + i) * HOP],
+                    hj: wav[i * HOP:(i + 1) * HOP]})[hj]
+        for i in range(5)])
+
+    plain = StreamingEngine(model, folded, capacity=2)
+    hp = plain.open_stream()
+    ref = np.concatenate([
+        plain.tick({hp: wav[i * HOP:(i + 1) * HOP]})[hp] for i in range(5)])
+    np.testing.assert_allclose(got, ref, atol=5e-5)
