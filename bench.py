@@ -118,13 +118,23 @@ def main():
     # causal local time attention with a rotating slot-pointer K/V cache
     # instead of the XLA path's per-frame concat+reslice cache rewrite;
     # the ln ablation runs the same RNNFormer stack kernel with its
-    # unfoldable LayerNorms applied inline (plan_stack ln_eps=...)
+    # unfoldable LayerNorms applied inline (plan_stack ln_eps=...);
+    # time_kernel's blocks are unchanged from default, so it runs the same
+    # RNNFormer stack kernel (its 2-D causal convs stay XLA either way;
+    # measured 5.86e-5 -> 4.16e-5 at 256 streams).
+    # fastenhancer.dprnn is deliberately NOT here: its fused kernel
+    # (ops/dprnn_stack.py) is exact and parity-tested but measured a ~3%
+    # NEGATIVE at the benched shape (4.03e-5 fused vs 3.90e-5 XLA,
+    # dprnn_b @ 256 streams bf16 30s) — the single-scan bigru XLA path
+    # pipelines the F-band sweep better than the kernel's serial in-VMEM
+    # sweep. A kept-exact negative result, same posture as ops/gru_scan.py.
     use_fused = (os.environ.get("BENCH_FUSED", "1") == "1" and chunk == 1
                  and (model_name == "bsrnn"
                       or (model_name in ("fastenhancer.default",
                                          "fastenhancer.conv_stft",
                                          "fastenhancer.dptransformer",
-                                         "fastenhancer.ln")
+                                         "fastenhancer.ln",
+                                         "fastenhancer.time_kernel")
                           and not model.rf.post_act)))
     fused_plan = model.build_stack_plan(variables) if use_fused else None
     mesh = None

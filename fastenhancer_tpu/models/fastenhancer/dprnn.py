@@ -230,13 +230,45 @@ class Model(DefaultModel):
         self, variables: Params, plan: Params, carry: Params, wav_hop: Array
     ) -> tp.Tuple[Params, Array]:
         """streaming_step with the block stack fused into one Pallas
-        program. Math matches streaming_step on folded variables (tested);
+        program. Math matches streaming_step on folded variables
+        (tests/test_ops_pallas.py: dprnn fused-vs-XLA stream parity);
         carry uses the fused f-major layout
-        (init_streaming_carry(fused=True))."""
+        (init_streaming_carry(fused=True)).
+
+        Batch constraint: the kernel tiles streams in sublane-aligned
+        blocks (8 for f32, 16 for bf16 — ops/dprnn_stack.py _tile_align),
+        so the batch needs an aligned divisor on real TPU; the same holds
+        for a StreamingEngine(fused=True) capacity. stream() checks
+        ops.dprnn_stack.supports_batch and falls back to the XLA path;
+        calling this step directly with an unsupported batch raises.
+
+        Perf note: measured ~3% SLOWER than the XLA path at the benched
+        dprnn_b/256-stream shape (the single-scan bigru pipelines better)
+        — see the ops/dprnn_stack.py module docstring. Exact and
+        supported, but the default serving path is the XLA step."""
         spec, stft_c = self._stream_front(carry, wav_hop)
         mask, h_t = self.model_forward_fused(variables, plan, spec,
                                              carry["h"])
         return self._stream_back(spec, mask, carry, stft_c, h_t)
+
+    def stream(self, variables: Params, wav: Array,
+               chunk_frames: int = 1, unroll: int = 4,
+               fused_plan: tp.Optional[Params] = None) -> Array:
+        """Whole-utterance streaming (see DefaultModel.stream). When
+        `fused_plan` is given but the batch has no sublane-aligned divisor
+        for the Pallas stack kernel (supports_batch False — e.g. batch 3
+        in f32 on real TPU, alignment 8/16 per dtype), this falls back to
+        the math-identical XLA scan body instead of raising."""
+        if fused_plan is not None:
+            from ...ops.dprnn_stack import supports_batch
+
+            dp = self.dp
+            if not supports_batch(int(wav.shape[0]), dp.freq, dp.channels,
+                                  2 * dp.channels_frnn, dp.num_blocks,
+                                  jnp.dtype(wav.dtype).itemsize):
+                fused_plan = None
+        return super().stream(variables, wav, chunk_frames=chunk_frames,
+                              unroll=unroll, fused_plan=fused_plan)
 
     def _block_fold(self, bp: Params, bs: Params) -> Params:
         eps = self.dp.eps

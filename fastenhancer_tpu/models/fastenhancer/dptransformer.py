@@ -319,8 +319,10 @@ class Model(DefaultModel):
     ) -> tp.Tuple[Array, Array, Array]:
         """model_forward (one frame, inference) with the block stack as one
         Pallas program. spec: compressed [B, F, 1, 2]; kc/vc: rotating K/V
-        caches [NB, L, B*Fp, C]; bias_lanes: per-frame pe bias
-        (ops.dpt_stack.bias_lanes_for_ptr). Returns (mask, k_new, v_new)."""
+        caches in channel-major layout [NB, L, C, B*Fp] (matches
+        init_streaming_carry(fused=True) and the dpt_stack plan);
+        bias_lanes: per-frame pe bias (ops.dpt_stack.bias_lanes_for_ptr).
+        Returns (mask, k_new, v_new)."""
         from ...ops.dpt_stack import dpt_stack_step
 
         params, stats = variables["params"], variables["stats"]

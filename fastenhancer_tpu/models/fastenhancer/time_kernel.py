@@ -100,10 +100,18 @@ class Model(DefaultModel):
     def model_forward(
         self, params: Params, stats: Params, spec: Array,
         h0: tp.Optional[Carry] = None, train: bool = False,
+        fused_plan: tp.Optional[Params] = None,
     ) -> tp.Tuple[Array, Carry, Params]:
         """spec [B, F, T, 2] -> (mask, carry_out, new_stats). h0 is either
         None (offline: zero caches, discard) or the streaming carry dict
-        {"h": [...], "enc": [...], "dec": [...]}."""
+        {"h": [...], "enc": [...], "dec": [...]}.
+
+        fused_plan (build_stack_plan() on folded variables) swaps the
+        RNNFormer block loop — unchanged from the default model — for the
+        fused Pallas stack kernel (ops/rnnformer_stack.py); requires T == 1
+        (per-frame streaming) and h0["h"] in the stacked [NB, B*F', C]
+        layout (init_streaming_carry(fused=True)). The 2-D causal
+        encoder/decoder convs stay XLA with their frame caches either way."""
         cfg, rf = self, self.rf
         k_t = self.kernel_size_time
         b, f_in, t, _ = spec.shape
@@ -151,14 +159,21 @@ class Model(DefaultModel):
 
         cc = x2.shape[-1]
         xb = x2.reshape(b, t, rf.freq, cc).transpose(1, 0, 2, 3)
-        h_out = []
-        for i, (bp, bs) in enumerate(zip(params["rf_blocks"],
-                                         stats["rf_blocks"])):
-            h_i = None if block_h is None else block_h[i]
-            xb, h_t, s = self._apply_block(bp, bs, xb, h_i, train)
-            h_out.append(h_t)
-            if s is not None:
-                new_stats["rf_blocks"][i] = s
+        if fused_plan is not None:
+            from ...ops.rnnformer_stack import rnnformer_stack_step
+
+            y, h_out = rnnformer_stack_step(fused_plan, xb[0], block_h,
+                                            rf.num_heads)
+            xb = y[None]
+        else:
+            h_out = []
+            for i, (bp, bs) in enumerate(zip(params["rf_blocks"],
+                                             stats["rf_blocks"])):
+                h_i = None if block_h is None else block_h[i]
+                xb, h_t, s = self._apply_block(bp, bs, xb, h_i, train)
+                h_out.append(h_t)
+                if s is not None:
+                    new_stats["rf_blocks"][i] = s
 
         x2 = xb.transpose(1, 0, 2, 3).reshape(b * t, rf.freq, cc)
         w_post = params["rf_post"]["lin"]["weight"]
@@ -209,8 +224,12 @@ class Model(DefaultModel):
 
     # -- streaming ---------------------------------------------------------------
 
-    def init_streaming_carry(self, batch: int, dtype=jnp.float32) -> Params:
-        base = super().init_streaming_carry(batch, dtype)
+    def init_streaming_carry(self, batch: int, dtype=jnp.float32,
+                             fused: bool = False) -> Params:
+        """fused=True stacks the block GRU carries [NB, B*F', C] for the
+        fused Pallas stack step; the 2-D conv frame caches are the same
+        either way."""
+        base = super().init_streaming_carry(batch, dtype, fused=fused)
         k_t = self.kernel_size_time
         f_enc = self.freq
         conv_cache = lambda: jnp.zeros(  # noqa: E731
@@ -221,6 +240,34 @@ class Model(DefaultModel):
             "dec": [conv_cache() for _ in self.kernel_size[1:]],
         }
         return base
+
+    def model_forward_fused(
+        self, variables: Params, plan: Params, spec: Array, carry_h: Carry
+    ) -> tp.Tuple[Array, Carry]:
+        """model_forward (one frame, inference) with the block stack as one
+        Pallas program; encoder/decoder 2-D causal convs stay XLA with
+        their frame caches. spec: compressed [B, F, 1, 2]; carry_h:
+        {"h": stacked [NB, B*F', C], "enc": [...], "dec": [...]}.
+        Returns (mask, carry_out)."""
+        params, stats = variables["params"], variables["stats"]
+        mask, carry_out, _ = self.model_forward(params, stats, spec,
+                                                h0=carry_h, train=False,
+                                                fused_plan=plan)
+        return mask, carry_out
+
+    def streaming_step_fused(
+        self, variables: Params, plan: Params, carry: Params, wav_hop: Array
+    ) -> tp.Tuple[Params, Array]:
+        """streaming_step with the RNNFormer block stack fused into one
+        Pallas program (the blocks are unchanged from the default model, so
+        the same ops/rnnformer_stack.py kernel applies). Math matches
+        streaming_step on folded variables (tests/test_ops_pallas.py:
+        time_kernel fused-vs-XLA stream parity); carry uses
+        init_streaming_carry(fused=True)."""
+        spec, stft_c = self._stream_front(carry, wav_hop)
+        mask, h_t = self.model_forward_fused(variables, plan, spec,
+                                             carry["h"])
+        return self._stream_back(spec, mask, carry, stft_c, h_t)
 
     def torch_name(self, path: tp.Tuple[str, ...]) -> tp.Optional[str]:
         # decoder SequentialCache indices: 0 conv1, 1 bn1, 3 conv2, 4 bn2

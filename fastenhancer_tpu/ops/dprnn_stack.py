@@ -37,6 +37,15 @@ Only the *folded* inference form is implemented (fold(): post-BNs merged
 into the fcs, optional pre-norms into the GRU input weights — reference
 deploy path models/fastenhancer/dprnn/model.py + default BN-fold math);
 training keeps the composable XLA path.
+
+MEASURED RESULT (v5e, dprnn_b @ 256 streams bf16, 30 s audio): the kernel
+is exact (bit-identical to the XLA path on real hardware) but ~3% SLOWER
+— 4.03e-5 vs 3.90e-5 per-stream RTF. Unlike the rnnformer/bsrnn/dpt
+stacks, the dprnn XLA path already runs its bidirectional sweep as ONE
+direction-stacked lax.scan (nn/gru.py bigru single-scan form), which XLA
+pipelines across the scan's frames better than this kernel's serial
+in-VMEM band sweep. Kept as an exact, parity-tested negative result (same
+posture as ops/gru_scan.py); bench.py and the zoo table use the XLA path.
 """
 from __future__ import annotations
 
@@ -237,6 +246,23 @@ def _auto_batch_tile(b: int, fb: int, c: int, hd: int, num_blocks: int,
             f"dprnn-stack kernel (DPRNN_STACK_TILE_BYTES={_TILE_BYTES_LIMIT});"
             " use the XLA streaming path for small batches")
     return best
+
+
+def supports_batch(b: int, fb: int, c: int, hd: int, num_blocks: int,
+                   itemsize: int, interpret: tp.Optional[bool] = None
+                   ) -> bool:
+    """True iff the kernel has a sublane-aligned batch tile for b that fits
+    the VMEM budget (see _auto_batch_tile: alignment is 8 for f32 / 16 for
+    bf16 on real TPU, 1 in interpret mode). Model.stream(fused_plan=...)
+    consults this and falls back to the XLA scan body when False, so
+    unaligned batches (e.g. 3) degrade gracefully instead of raising."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    try:
+        _auto_batch_tile(b, fb, c, hd, num_blocks, itemsize, interpret)
+        return True
+    except ValueError:
+        return False
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))

@@ -96,8 +96,10 @@ class StreamingEngine:
         `streaming_step(variables, carry, hops)` (the whole zoo does); for
         `fused=True` it must also expose `build_stack_plan` /
         `streaming_step_fused` / `init_streaming_carry(..., fused=True)`
-        (fastenhancer default/conv_stft/dptransformer and bsrnn, folded
-        variables).
+        (fastenhancer default/conv_stft/time_kernel/dprnn/dptransformer/ln
+        and bsrnn, folded variables; the dprnn kernel additionally needs a
+        sublane-aligned capacity — 8 for f32, 16 for bf16,
+        ops/dprnn_stack.py supports_batch).
       variables: parameter pytree (fold()ed when fused=True).
       capacity: slot count == compiled batch size. Must be >= 2 (the slot
         axis of each carry leaf is inferred from how shapes scale with it).

@@ -659,3 +659,149 @@ def test_plan_stack_rejects_weight_norm():
     variables = model.init(jax.random.PRNGKey(2))  # weight-normed, unfolded
     with pytest.raises(ValueError, match="fold"):
         model.build_stack_plan(variables)
+
+
+# -- fused dprnn stack kernel (ops/dprnn_stack.py) ----------------------------
+
+def _tiny_dprnn(freq=8, pre_norm=False):
+    from fastenhancer_tpu.models.fastenhancer.dprnn import Model
+
+    return Model(
+        channels=12, kernel_size=[4, 3], stride=4,
+        dprnn_kwargs=dict(num_blocks=2, channels=8, channels_frnn=4,
+                          freq=freq, pre_norm=pre_norm),
+        n_fft=128, hop_size=64, win_size=128, window="hann",
+        weight_norm=True, pre_post_init="linear_fixed",
+    )
+
+
+def test_dprnn_stream_fused_matches_stream():
+    """Whole-utterance streaming with the fused dprnn stack kernel (time
+    GRU + bidirectional frequency sweep as one Pallas program) must match
+    the XLA scan body on folded variables — the multi-frame run also
+    exercises the f-major carry roundtrip across frames. Batch 8 is the
+    real-TPU sublane alignment (f32)."""
+    model = _tiny_dprnn()
+    folded = model.fold(model.init(jax.random.PRNGKey(0)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((8, 64 * 14)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_dprnn_stream_fused_pre_norm_fold():
+    """pre_norm recipes fold the pre-BN into the GRU input weights; the
+    fused kernel must consume that form unchanged."""
+    model = _tiny_dprnn(pre_norm=True)
+    variables = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 64 * 8)).astype(np.float32))
+    _, _, new_stats = model.forward(variables, wav, train=True)
+    folded = model.fold({"params": variables["params"], "stats": new_stats})
+    plan = model.build_stack_plan(folded)
+    wav = jnp.asarray(rng.standard_normal((2, 64 * 10)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_dprnn_stack_batch_tiling_matches_single_program():
+    """Grid-tiled streams must match the whole-batch program. Per-stream
+    math is tile-independent, but the interpreter's CPU GEMMs reassociate
+    f32 accumulation with the rows extent of the hoisted sweep projection
+    (x @ W_ih^T over all rows), so the bound is f32 rounding rather than
+    bit equality — same story as the dpt kernel's tiling test."""
+    from fastenhancer_tpu.ops.dprnn_stack import (plan_dprnn_stack,
+                                                  dprnn_stack_step)
+
+    model = _tiny_dprnn()
+    folded = model.fold(model.init(jax.random.PRNGKey(2)))
+    plan = plan_dprnn_stack(folded["params"]["rf_blocks"])
+    dp = model.dp
+    fb, b, c = dp.freq, 6, dp.channels
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((fb, b, c)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal(
+        (dp.num_blocks, fb, b, c)) * 0.1, jnp.float32)
+    x_ref, h_ref = dprnn_stack_step(plan, x, h, interpret=True, batch_tile=b)
+    for tile in (1, 2, 3):
+        x_t, h_t = dprnn_stack_step(plan, x, h, interpret=True,
+                                    batch_tile=tile)
+        np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dprnn_stack_plan_rejects_unfolded():
+    import pytest
+
+    model = _tiny_dprnn()
+    variables = model.init(jax.random.PRNGKey(3))
+    with pytest.raises(ValueError, match="fold"):
+        model.build_stack_plan(variables)
+
+
+def test_dprnn_supports_batch_alignment():
+    """On real TPU the kernel needs a sublane-aligned batch tile (8 for
+    f32, 16 for bf16); interpret mode (CPU) accepts any batch."""
+    from fastenhancer_tpu.ops.dprnn_stack import supports_batch
+
+    args = dict(fb=8, c=8, hd=8, num_blocks=2)
+    assert not supports_batch(3, itemsize=4, interpret=False, **args)
+    assert supports_batch(8, itemsize=4, interpret=False, **args)
+    assert not supports_batch(8, itemsize=2, interpret=False, **args)
+    assert supports_batch(16, itemsize=2, interpret=False, **args)
+    assert supports_batch(3, itemsize=4, interpret=True, **args)
+
+
+def test_dprnn_stream_unaligned_batch_falls_back(monkeypatch):
+    """stream(fused_plan=...) with a batch the kernel cannot tile must
+    fall back to the XLA path (same output), not raise."""
+    import fastenhancer_tpu.ops.dprnn_stack as mod
+
+    model = _tiny_dprnn()
+    folded = model.fold(model.init(jax.random.PRNGKey(4)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(4)
+    wav = jnp.asarray(rng.standard_normal((3, 64 * 6)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    monkeypatch.setattr(mod, "supports_batch", lambda *a, **k: False)
+    y_fb = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_array_equal(y_fb, y_ref)
+
+
+# -- fused stack kernel wired into the time_kernel variant --------------------
+
+def _tiny_time_kernel():
+    from fastenhancer_tpu.models.fastenhancer.time_kernel import Model
+
+    return Model(
+        channels=12, kernel_size_freq=[4, 3], kernel_size_time=3, stride=4,
+        rnnformer_kwargs=dict(num_blocks=2, channels=8, freq=8, num_heads=2,
+                              positional_embedding="train"),
+        n_fft=128, hop_size=64, win_size=128, window="hann",
+        weight_norm=True, pre_post_init="linear_fixed",
+    )
+
+
+def test_time_kernel_stream_fused_matches_stream():
+    """time_kernel's RNNFormer blocks are unchanged from default, so the
+    same fused Pallas stack kernel applies; the 2-D causal encoder/decoder
+    convs keep their XLA frame caches. Whole-utterance fused streaming
+    must match the XLA path on folded variables (multi-frame: conv caches
+    and GRU carries both roundtrip)."""
+    model = _tiny_time_kernel()
+    folded = model.fold(model.init(jax.random.PRNGKey(0)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((3, 64 * 14)).astype(np.float32)
+                      * 0.1)
+    y_ref = np.asarray(model.stream(folded, wav))
+    y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)

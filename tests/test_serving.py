@@ -290,3 +290,29 @@ def test_fused_engine_dpt_slot_reset_with_shared_pointer():
     ref = np.concatenate([
         plain.tick({hp: wav[i * HOP:(i + 1) * HOP]})[hp] for i in range(5)])
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_fused_engine_time_kernel_matches_unfused():
+    """time_kernel fused serving: the carry nests stacked GRU carries with
+    2-D conv frame caches ({"h": {"h", "enc", "dec"}}); slot-axis inference
+    and per-slot resets must handle the conv-cache leaves, and the fused
+    engine must match the unfused one for a stream joining mid-run."""
+    model, variables = _build("fastenhancer.time_kernel", TK_KWARGS)
+    folded = model.fold(variables)
+    wav_bg, wav = _wav(8, 51), _wav(6, 52)
+
+    fused = StreamingEngine(model, folded, capacity=2, fused=True)
+    hb = fused.open_stream()
+    for i in range(3):  # make the background stream's conv caches non-zero
+        fused.tick({hb: wav_bg[i * HOP:(i + 1) * HOP]})
+    hj = fused.open_stream()
+    got = np.concatenate([
+        fused.tick({hb: wav_bg[(3 + i) * HOP:(4 + i) * HOP],
+                    hj: wav[i * HOP:(i + 1) * HOP]})[hj]
+        for i in range(5)])
+
+    plain = StreamingEngine(model, folded, capacity=2)
+    hp = plain.open_stream()
+    ref = np.concatenate([
+        plain.tick({hp: wav[i * HOP:(i + 1) * HOP]})[hp] for i in range(5)])
+    np.testing.assert_allclose(got, ref, atol=5e-5)
