@@ -258,13 +258,18 @@ class Model(DefaultModel):
         `fused_plan` is given but the batch has no sublane-aligned divisor
         for the Pallas stack kernel (supports_batch False — e.g. batch 3
         in f32 on real TPU, alignment 8/16 per dtype), this falls back to
-        the math-identical XLA scan body instead of raising."""
-        if fused_plan is not None:
+        the math-identical XLA scan body instead of raising. The fallback
+        only applies to per-frame streaming: fused_plan with
+        chunk_frames > 1 is invalid for ANY batch (DefaultModel.stream
+        raises)."""
+        if fused_plan is not None and chunk_frames == 1:
             from ...ops.dprnn_stack import supports_batch
 
             dp = self.dp
+            # hd = channels_frnn: the kernel's per-direction hidden size
+            # (dprnn_stack_step derives it from plan w_fhh [NB,2,H,3H])
             if not supports_batch(int(wav.shape[0]), dp.freq, dp.channels,
-                                  2 * dp.channels_frnn, dp.num_blocks,
+                                  dp.channels_frnn, dp.num_blocks,
                                   jnp.dtype(wav.dtype).itemsize):
                 fused_plan = None
         return super().stream(variables, wav, chunk_frames=chunk_frames,

@@ -245,29 +245,20 @@ class Model(DefaultModel):
         self, variables: Params, plan: Params, spec: Array, carry_h: Carry
     ) -> tp.Tuple[Array, Carry]:
         """model_forward (one frame, inference) with the block stack as one
-        Pallas program; encoder/decoder 2-D causal convs stay XLA with
-        their frame caches. spec: compressed [B, F, 1, 2]; carry_h:
+        Pallas program (ops/rnnformer_stack.py — the blocks are unchanged
+        from the default model); encoder/decoder 2-D causal convs stay XLA
+        with their frame caches. spec: compressed [B, F, 1, 2]; carry_h:
         {"h": stacked [NB, B*F', C], "enc": [...], "dec": [...]}.
-        Returns (mask, carry_out)."""
+        Returns (mask, carry_out). Driven by the inherited
+        DefaultModel.streaming_step_fused (its list-stack guard is a no-op
+        on this dict carry); math matches streaming_step on folded
+        variables (tests/test_ops_pallas.py: time_kernel fused-vs-XLA
+        stream parity)."""
         params, stats = variables["params"], variables["stats"]
         mask, carry_out, _ = self.model_forward(params, stats, spec,
                                                 h0=carry_h, train=False,
                                                 fused_plan=plan)
         return mask, carry_out
-
-    def streaming_step_fused(
-        self, variables: Params, plan: Params, carry: Params, wav_hop: Array
-    ) -> tp.Tuple[Params, Array]:
-        """streaming_step with the RNNFormer block stack fused into one
-        Pallas program (the blocks are unchanged from the default model, so
-        the same ops/rnnformer_stack.py kernel applies). Math matches
-        streaming_step on folded variables (tests/test_ops_pallas.py:
-        time_kernel fused-vs-XLA stream parity); carry uses
-        init_streaming_carry(fused=True)."""
-        spec, stft_c = self._stream_front(carry, wav_hop)
-        mask, h_t = self.model_forward_fused(variables, plan, spec,
-                                             carry["h"])
-        return self._stream_back(spec, mask, carry, stft_c, h_t)
 
     def torch_name(self, path: tp.Tuple[str, ...]) -> tp.Optional[str]:
         # decoder SequentialCache indices: 0 conv1, 1 bn1, 3 conv2, 4 bn2

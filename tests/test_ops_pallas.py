@@ -694,15 +694,16 @@ def test_dprnn_stream_fused_matches_stream():
 
 def test_dprnn_stream_fused_pre_norm_fold():
     """pre_norm recipes fold the pre-BN into the GRU input weights; the
-    fused kernel must consume that form unchanged."""
+    fused kernel must consume that form unchanged. Batch 8 so the kernel
+    (not the supports_batch XLA fallback) runs on real TPU too."""
     model = _tiny_dprnn(pre_norm=True)
     variables = model.init(jax.random.PRNGKey(1))
     rng = np.random.default_rng(1)
-    wav = jnp.asarray(rng.standard_normal((2, 64 * 8)).astype(np.float32))
+    wav = jnp.asarray(rng.standard_normal((8, 64 * 8)).astype(np.float32))
     _, _, new_stats = model.forward(variables, wav, train=True)
     folded = model.fold({"params": variables["params"], "stats": new_stats})
     plan = model.build_stack_plan(folded)
-    wav = jnp.asarray(rng.standard_normal((2, 64 * 10)).astype(np.float32)
+    wav = jnp.asarray(rng.standard_normal((8, 64 * 10)).astype(np.float32)
                       * 0.1)
     y_ref = np.asarray(model.stream(folded, wav))
     y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
@@ -748,15 +749,34 @@ def test_dprnn_stack_plan_rejects_unfolded():
 
 def test_dprnn_supports_batch_alignment():
     """On real TPU the kernel needs a sublane-aligned batch tile (8 for
-    f32, 16 for bf16); interpret mode (CPU) accepts any batch."""
+    f32, 16 for bf16); interpret mode (CPU) accepts any batch. hd is the
+    per-direction sweep hidden (channels_frnn), matching what
+    dprnn_stack_step derives from plan w_fhh [NB, 2, H, 3H] and what
+    Model.stream passes to the guard."""
     from fastenhancer_tpu.ops.dprnn_stack import supports_batch
 
-    args = dict(fb=8, c=8, hd=8, num_blocks=2)
+    args = dict(fb=8, c=8, hd=4, num_blocks=2)
     assert not supports_batch(3, itemsize=4, interpret=False, **args)
     assert supports_batch(8, itemsize=4, interpret=False, **args)
     assert not supports_batch(8, itemsize=2, interpret=False, **args)
     assert supports_batch(16, itemsize=2, interpret=False, **args)
     assert supports_batch(3, itemsize=4, interpret=True, **args)
+
+
+def test_dprnn_stream_fused_chunked_still_rejected():
+    """The unaligned-batch fallback must not swallow the 'fused_plan
+    implies per-frame streaming' validation: fused_plan + chunk_frames>1
+    raises for ANY batch, aligned or not."""
+    import pytest
+
+    model = _tiny_dprnn()
+    folded = model.fold(model.init(jax.random.PRNGKey(5)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(5)
+    for b in (3, 8):  # unaligned and aligned
+        wav = jnp.asarray(rng.standard_normal((b, 64 * 4)).astype(np.float32))
+        with pytest.raises(ValueError, match="chunk_frames"):
+            model.stream(folded, wav, chunk_frames=2, fused_plan=plan)
 
 
 def test_dprnn_stream_unaligned_batch_falls_back(monkeypatch):
