@@ -461,7 +461,7 @@ class Model:
         return {"stft": stft_c, "istft": istft_c, "h": h_out}, wav_out
 
     def stream(self, variables: Params, wav: Array,
-               chunk_frames: int = 1,
+               chunk_frames: int = 1, unroll: int = 4,
                fused_plan: tp.Optional[Params] = None) -> Array:
         b, length = wav.shape
         hop = self.hop_size
@@ -481,7 +481,7 @@ class Model:
 
             _, outs = jax.lax.scan(
                 fstep, self.init_streaming_carry(b, wav.dtype, fused=True),
-                hops)
+                hops, unroll=unroll)
             return outs.swapaxes(0, 1).reshape(b, -1)
         if chunk_frames > 1:
             t = (t // chunk_frames) * chunk_frames
@@ -493,7 +493,8 @@ class Model:
                 return carry, y
 
             _, outs = jax.lax.scan(
-                cstep, self.init_streaming_carry(b, wav.dtype), blocks)
+                cstep, self.init_streaming_carry(b, wav.dtype), blocks,
+                unroll=unroll)
             return outs.swapaxes(0, 1).reshape(b, -1)
         hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
 
@@ -502,7 +503,7 @@ class Model:
             return carry, y
 
         _, outs = jax.lax.scan(step, self.init_streaming_carry(b, wav.dtype),
-                               hops)
+                               hops, unroll=unroll)
         return outs.swapaxes(0, 1).reshape(b, -1)
 
     # -- deploy-time folding ----------------------------------------------------------

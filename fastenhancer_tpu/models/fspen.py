@@ -383,7 +383,7 @@ class Model:
         return {"stft": stft_c, "istft": istft_c, "h": h_out}, wav_out
 
     def stream(self, variables: Params, wav: Array,
-               chunk_frames: int = 1) -> Array:
+               chunk_frames: int = 1, unroll: int = 4) -> Array:
         b, length = wav.shape
         hop = self.hop_size
         t = length // hop
@@ -397,7 +397,8 @@ class Model:
                 return carry, y
 
             _, outs = jax.lax.scan(
-                cstep, self.init_streaming_carry(b, wav.dtype), blocks)
+                cstep, self.init_streaming_carry(b, wav.dtype), blocks,
+                unroll=unroll)
             return outs.swapaxes(0, 1).reshape(b, -1)
         hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
 
@@ -406,7 +407,7 @@ class Model:
             return carry, y
 
         _, outs = jax.lax.scan(step, self.init_streaming_carry(b, wav.dtype),
-                               hops)
+                               hops, unroll=unroll)
         return outs.swapaxes(0, 1).reshape(b, -1)
 
     # -- fold ---------------------------------------------------------------------------
