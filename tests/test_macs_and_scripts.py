@@ -113,3 +113,27 @@ def test_vad_segments_and_segmented_builder(tmp_path):
     cuts = list(ShardSource(str(out)).iter_cuts(seed=0))
     assert [c.id for c in cuts] == ["long_000", "long_001"]
     assert all(0.5 <= c.duration <= 2.0 for c in cuts)
+
+
+def test_bench_zoo_formats_rows(monkeypatch, capsys):
+    """scripts/bench_zoo glue: parses each bench.py subprocess's JSON line,
+    skips failing rows with a visible message, and renders the summary
+    table (the actual benching is bench.py's job, mocked here)."""
+    import json
+    import subprocess as sp
+    from scripts import bench_zoo
+
+    def fake_run(cmd, **kwargs):
+        cfg = kwargs["env"]["BENCH_CONFIG"]
+        if "fspen" in cfg:
+            return sp.CompletedProcess(cmd, 1, stdout="", stderr="boom")
+        line = json.dumps({"metric": "m", "value": 4.0e-05,
+                           "unit": "u", "vs_baseline": 0.02})
+        return sp.CompletedProcess(cmd, 0, stdout=line + "\n", stderr="")
+
+    monkeypatch.setattr(bench_zoo.subprocess, "run", fake_run)
+    bench_zoo.main(["configs/fastenhancer/t.yaml", "configs/others/fspen.yaml"])
+    out = capsys.readouterr().out
+    assert "[ok] configs/fastenhancer/t.yaml" in out
+    assert "[fail] configs/others/fspen.yaml" in out
+    assert "| `configs/fastenhancer/t.yaml` | 4.000e-05 | 25.0k | 0.0200 |" in out
