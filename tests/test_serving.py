@@ -316,3 +316,49 @@ def test_fused_engine_time_kernel_matches_unfused():
     ref = np.concatenate([
         plain.tick({hp: wav[i * HOP:(i + 1) * HOP]})[hp] for i in range(5)])
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+LN_KWARGS = dict(
+    channels=16, kernel_size=[8, 3, 3], stride=4,
+    rnnformer_kwargs=dict(num_blocks=2, channels=12, freq=16, num_heads=4,
+                          eps=1.0e-5, positional_embedding="train",
+                          attn_bias=False, post_act=False, pre_norm=False),
+    pre_post_init="linear_fixed", n_fft=512, hop_size=HOP, win_size=512,
+    window="hann", stft_normalized=False, mask=None, activation="SiLU",
+    input_compression=0.3, normalize_final_conv=True, weight_norm=True,
+    final_scale=True, final_scale_init="one")
+
+
+def test_fused_engine_ln_matches_unfused():
+    """ln-ablation fused serving: the stack kernel applies the unfoldable
+    sample-local LayerNorms inline (plan_stack ln_eps=...); the fused
+    engine must match the unfused one for a stream joining mid-run."""
+    import jax.numpy as jnp
+
+    model, variables = _build("fastenhancer.ln", LN_KWARGS)
+    # non-trivial LN affine params so the quirky diff + inv*w*b term bites
+    rng = np.random.default_rng(60)
+    for bp in variables["params"]["rf_blocks"]:
+        for nm in ("rnn_post_norm", "attn_post_norm"):
+            bp[nm]["ln"]["weight"] = jnp.asarray(
+                1.0 + 0.2 * rng.standard_normal(12), jnp.float32)
+            bp[nm]["ln"]["bias"] = jnp.asarray(
+                0.1 * rng.standard_normal(12), jnp.float32)
+    folded = model.fold(variables)
+    wav_bg, wav = _wav(6, 61), _wav(5, 62)
+
+    fused = StreamingEngine(model, folded, capacity=2, fused=True)
+    hb = fused.open_stream()
+    for i in range(3):
+        fused.tick({hb: wav_bg[i * HOP:(i + 1) * HOP]})
+    hj = fused.open_stream()
+    got = np.concatenate([
+        fused.tick({hb: wav_bg[(3 + i) * HOP:(4 + i) * HOP],
+                    hj: wav[i * HOP:(i + 1) * HOP]})[hj]
+        for i in range(3)])
+
+    plain = StreamingEngine(model, folded, capacity=2)
+    hp = plain.open_stream()
+    ref = np.concatenate([
+        plain.tick({hp: wav[i * HOP:(i + 1) * HOP]})[hp] for i in range(3)])
+    np.testing.assert_allclose(got, ref, atol=5e-5)
