@@ -148,15 +148,17 @@ def main():
             fused_plan = replicate(fused_plan, mesh)
         wav = shard_batch(wav, mesh)
 
-    # baselines' stream() takes no unroll/fused_plan kwargs (fe_family above)
+    # every family's stream() takes unroll; only bsrnn of the baselines
+    # takes fused_plan (its fused band-stack kernel)
     def make_bench_fn(plan):
         def stream(v, p, w):
             if fe_family:
                 return model.stream(v, w, chunk_frames=chunk, unroll=unroll,
                                     fused_plan=p)
             if p is not None:  # bsrnn fused band-stack
-                return model.stream(v, w, chunk_frames=chunk, fused_plan=p)
-            return model.stream(v, w, chunk_frames=chunk)
+                return model.stream(v, w, chunk_frames=chunk, unroll=unroll,
+                                    fused_plan=p)
+            return model.stream(v, w, chunk_frames=chunk, unroll=unroll)
 
         if mesh is not None:
             # per-shard execution keeps the fused Pallas kernel usable
