@@ -251,6 +251,21 @@ class Model(DefaultModel):
                                              carry["h"])
         return self._stream_back(spec, mask, carry, stft_c, h_t)
 
+    def validate_fused_batch(self, batch: int, dtype=jnp.float32) -> None:
+        """Raise early (with guidance) when a fused serving batch has no
+        sublane-aligned kernel tile — called by StreamingEngine(fused=True)
+        at construction. stream() instead falls back to XLA silently."""
+        from ...ops.dprnn_stack import supports_batch
+
+        dp = self.dp
+        if not supports_batch(batch, dp.freq, dp.channels, dp.channels_frnn,
+                              dp.num_blocks, jnp.dtype(dtype).itemsize):
+            raise ValueError(
+                f"fused dprnn serving needs a sublane-aligned capacity "
+                f"(multiple of 8 for f32 / 16 for bf16 with a tile fitting "
+                f"VMEM); capacity {batch} with dtype {jnp.dtype(dtype).name} "
+                f"has none — use an aligned capacity or fused=False")
+
     def stream(self, variables: Params, wav: Array,
                chunk_frames: int = 1, unroll: int = 4,
                fused_plan: tp.Optional[Params] = None) -> Array:

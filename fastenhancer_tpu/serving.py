@@ -121,6 +121,11 @@ class StreamingEngine:
         self.hop = model.stft_cfg.hop_size
         self.delay_samples = model.stft_cfg.n_fft - self.hop
         self._variables = variables
+        if fused and hasattr(model, "validate_fused_batch"):
+            # fail at construction with a clear message (e.g. dprnn's
+            # sublane-aligned-capacity requirement) instead of deep inside
+            # the kernel's tile selection on the first tick
+            model.validate_fused_batch(capacity, dtype)
         if fused:
             # the fused step takes/returns its own carry layout (stacked
             # block carries for the GRU family, rotating-slot K/V caches +

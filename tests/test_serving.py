@@ -362,3 +362,57 @@ def test_fused_engine_ln_matches_unfused():
     ref = np.concatenate([
         plain.tick({hp: wav[i * HOP:(i + 1) * HOP]})[hp] for i in range(3)])
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_fused_engine_dprnn_unaligned_capacity_fails_fast(monkeypatch):
+    """StreamingEngine(fused=True) must surface dprnn's sublane-alignment
+    requirement at construction (model.validate_fused_batch hook), not
+    from inside the kernel's tile selection on the first tick. On real
+    TPU capacity 3/f32 has no aligned tile; on CPU interpret mode accepts
+    any batch, so the kernel-side check is forced here."""
+    import fastenhancer_tpu.ops.dprnn_stack as mod
+
+    kwargs = dict(
+        channels=16, kernel_size=[8, 3, 3], stride=4,
+        dprnn_kwargs=dict(num_blocks=2, channels=12, channels_frnn=6,
+                          freq=16),
+        pre_post_init="linear_fixed", n_fft=512, hop_size=HOP, win_size=512,
+        window="hann", activation="SiLU", input_compression=0.3,
+        weight_norm=True, final_scale=True)
+    model, variables = _build("fastenhancer.dprnn", kwargs)
+    folded = model.fold(variables)
+    monkeypatch.setattr(mod, "supports_batch", lambda *a, **k: False)
+    with pytest.raises(ValueError, match="aligned capacity"):
+        StreamingEngine(model, folded, capacity=3, fused=True)
+
+
+def test_fused_engine_dprnn_matches_unfused():
+    """dprnn fused serving (f-major stacked carry [NB, F, B, C]: slot axis
+    is the third) must match the unfused engine for a stream joining
+    mid-run; CPU interpret mode accepts capacity 2."""
+    kwargs = dict(
+        channels=16, kernel_size=[8, 3, 3], stride=4,
+        dprnn_kwargs=dict(num_blocks=2, channels=12, channels_frnn=6,
+                          freq=16),
+        pre_post_init="linear_fixed", n_fft=512, hop_size=HOP, win_size=512,
+        window="hann", activation="SiLU", input_compression=0.3,
+        weight_norm=True, final_scale=True)
+    model, variables = _build("fastenhancer.dprnn", kwargs)
+    folded = model.fold(variables)
+    wav_bg, wav = _wav(6, 71), _wav(5, 72)
+
+    fused = StreamingEngine(model, folded, capacity=2, fused=True)
+    hb = fused.open_stream()
+    for i in range(3):
+        fused.tick({hb: wav_bg[i * HOP:(i + 1) * HOP]})
+    hj = fused.open_stream()
+    got = np.concatenate([
+        fused.tick({hb: wav_bg[(3 + i) * HOP:(4 + i) * HOP],
+                    hj: wav[i * HOP:(i + 1) * HOP]})[hj]
+        for i in range(3)])
+
+    plain = StreamingEngine(model, folded, capacity=2)
+    hp = plain.open_stream()
+    ref = np.concatenate([
+        plain.tick({hp: wav[i * HOP:(i + 1) * HOP]})[hp] for i in range(3)])
+    np.testing.assert_allclose(got, ref, atol=5e-5)
