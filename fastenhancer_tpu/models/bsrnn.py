@@ -460,6 +460,21 @@ class Model:
                                                  self.stft_cfg)
         return {"stft": stft_c, "istft": istft_c, "h": h_out}, wav_out
 
+    def validate_fused_batch(self, batch: int, dtype=jnp.float32) -> None:
+        """Raise early (with guidance) when a fused serving batch has no
+        sublane-aligned kernel tile — called by StreamingEngine(fused=True)
+        at construction. stream() instead falls back to XLA silently."""
+        from ..ops.bsrnn_stack import supports_batch
+
+        if not supports_batch(batch, self.n_bands, self.channels,
+                              2 * self.channels, self.num_layers,
+                              jnp.dtype(dtype).itemsize):
+            raise ValueError(
+                f"fused bsrnn serving needs a sublane-aligned capacity "
+                f"(multiple of 8 for f32 / 16 for bf16 with a tile fitting "
+                f"VMEM); capacity {batch} with dtype {jnp.dtype(dtype).name} "
+                f"has none — use an aligned capacity or fused=False")
+
     def stream(self, variables: Params, wav: Array,
                chunk_frames: int = 1, unroll: int = 4,
                fused_plan: tp.Optional[Params] = None) -> Array:
@@ -472,6 +487,17 @@ class Model:
                     "fused_plan implies per-frame streaming "
                     "(chunk_frames=1); the chunked form time-batches the "
                     "stack in XLA already")
+            from ..ops.bsrnn_stack import supports_batch
+
+            # hd = 2*channels: the time-LSTM hidden (what bsrnn_stack_step
+            # derives from the carry's last axis). A batch with no
+            # sublane-aligned kernel tile falls back to the
+            # math-identical XLA scan body instead of raising.
+            if not supports_batch(b, self.n_bands, self.channels,
+                                  2 * self.channels, self.num_layers,
+                                  jnp.dtype(wav.dtype).itemsize):
+                fused_plan = None
+        if fused_plan is not None:
             hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)
 
             def fstep(carry, x):

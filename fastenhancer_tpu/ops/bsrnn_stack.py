@@ -226,6 +226,24 @@ def _auto_batch_tile(b: int, fb: int, c: int, hd: int, num_layers: int,
     return best
 
 
+def supports_batch(b: int, fb: int, c: int, hd: int, num_layers: int,
+                   itemsize: int, interpret: tp.Optional[bool] = None
+                   ) -> bool:
+    """True iff the kernel has a sublane-aligned batch tile for b that fits
+    the VMEM budget (see _auto_batch_tile: alignment is 8 for f32 / 16 for
+    bf16 on real TPU, 1 in interpret mode). Model.stream(fused_plan=...)
+    consults this and falls back to the XLA scan body when False, so
+    unaligned batches (e.g. 3) degrade gracefully instead of raising —
+    same contract as ops/dprnn_stack.supports_batch."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    try:
+        _auto_batch_tile(b, fb, c, hd, num_layers, itemsize, interpret)
+        return True
+    except ValueError:
+        return False
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "batch_tile"))
 def bsrnn_stack_step(

@@ -97,9 +97,11 @@ class StreamingEngine:
         `fused=True` it must also expose `build_stack_plan` /
         `streaming_step_fused` / `init_streaming_carry(..., fused=True)`
         (fastenhancer default/conv_stft/time_kernel/dprnn/dptransformer/ln
-        and bsrnn, folded variables; the dprnn kernel additionally needs a
-        sublane-aligned capacity — 8 for f32, 16 for bf16,
-        ops/dprnn_stack.py supports_batch).
+        and bsrnn, folded variables; the dprnn and bsrnn kernels
+        additionally need a sublane-aligned capacity — 8 for f32, 16 for
+        bf16, `supports_batch` in ops/{dprnn,bsrnn}_stack.py — enforced
+        with a clear error at construction via the models'
+        validate_fused_batch hook).
       variables: parameter pytree (fold()ed when fused=True).
       capacity: slot count == compiled batch size. Must be >= 2 (the slot
         axis of each carry leaf is inferred from how shapes scale with it).

@@ -825,3 +825,31 @@ def test_time_kernel_stream_fused_matches_stream():
     y_ref = np.asarray(model.stream(folded, wav))
     y_fus = np.asarray(model.stream(folded, wav, fused_plan=plan))
     np.testing.assert_allclose(y_fus, y_ref, atol=1e-5)
+
+
+def test_bsrnn_supports_batch_and_stream_fallback(monkeypatch):
+    """Same contract as the dprnn kernel: supports_batch encodes the real
+    sublane alignment (8 f32 / 16 bf16, 1 interpreted), and
+    stream(fused_plan=...) with a batch the kernel cannot tile falls back
+    to the XLA path (same output) instead of raising — while the
+    fused + chunk_frames>1 misuse still raises for any batch."""
+    import pytest
+    import fastenhancer_tpu.ops.bsrnn_stack as mod
+
+    args = dict(fb=8, c=8, hd=16, num_layers=2)
+    assert not mod.supports_batch(3, itemsize=4, interpret=False, **args)
+    assert mod.supports_batch(8, itemsize=4, interpret=False, **args)
+    assert mod.supports_batch(3, itemsize=4, interpret=True, **args)
+
+    model = _tiny_bsrnn()
+    folded = model.fold(model.init(jax.random.PRNGKey(7)))
+    plan = model.build_stack_plan(folded)
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.standard_normal(
+        (3, model.hop_size * 5)).astype(np.float32) * 0.1)
+    with pytest.raises(ValueError, match="chunk_frames"):
+        model.stream(folded, wav, chunk_frames=2, fused_plan=plan)
+    y_ref = np.asarray(model.stream(folded, wav))
+    monkeypatch.setattr(mod, "supports_batch", lambda *a, **k: False)
+    y_fb = np.asarray(model.stream(folded, wav, fused_plan=plan))
+    np.testing.assert_array_equal(y_fb, y_ref)
