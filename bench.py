@@ -136,6 +136,17 @@ def main():
                                          "fastenhancer.ln",
                                          "fastenhancer.time_kernel")
                           and not model.rf.post_act)))
+    # bsrnn/dprnn stream() silently falls back to the XLA body when the
+    # batch has no sublane-aligned kernel tile — pre-check so the metric
+    # label never says "fused-stack" for a run that actually measured XLA
+    # (the per-shard batch is what the kernel tiles under BENCH_DEVICES)
+    if use_fused and hasattr(model, "validate_fused_batch"):
+        try:
+            model.validate_fused_batch(streams // max(n_dev, 1), dtype)
+        except ValueError as e:
+            print(f"fused path unavailable at this shape ({e}); "
+                  "benching the XLA scan body", file=sys.stderr)
+            use_fused = False
     fused_plan = model.build_stack_plan(variables) if use_fused else None
     mesh = None
     if n_dev > 1:

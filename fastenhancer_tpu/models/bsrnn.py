@@ -460,15 +460,25 @@ class Model:
                                                  self.stft_cfg)
         return {"stft": stft_c, "istft": istft_c, "h": h_out}, wav_out
 
+    def _fused_batch_ok(self, batch: int, dtype) -> bool:
+        """Single source of truth for the fused kernel's batch-tile check
+        (consulted by both stream()'s fallback and validate_fused_batch —
+        the kernel-shape argument list lives only here). dtype must be the
+        ACTIVATION dtype the kernel will see (band_split output), not
+        necessarily the wav dtype."""
+        from ..ops.bsrnn_stack import supports_batch
+
+        return supports_batch(batch, self.n_bands, self.channels,
+                              2 * self.channels, self.num_layers,
+                              jnp.dtype(dtype).itemsize)
+
     def validate_fused_batch(self, batch: int, dtype=jnp.float32) -> None:
         """Raise early (with guidance) when a fused serving batch has no
         sublane-aligned kernel tile — called by StreamingEngine(fused=True)
-        at construction. stream() instead falls back to XLA silently."""
-        from ..ops.bsrnn_stack import supports_batch
-
-        if not supports_batch(batch, self.n_bands, self.channels,
-                              2 * self.channels, self.num_layers,
-                              jnp.dtype(dtype).itemsize):
+        at construction (per shard when devices>1) and by bench.py before
+        labelling a run fused. stream() instead falls back to XLA
+        silently."""
+        if not self._fused_batch_ok(batch, dtype):
             raise ValueError(
                 f"fused bsrnn serving needs a sublane-aligned capacity "
                 f"(multiple of 8 for f32 / 16 for bf16 with a tile fitting "
@@ -487,15 +497,16 @@ class Model:
                     "fused_plan implies per-frame streaming "
                     "(chunk_frames=1); the chunked form time-batches the "
                     "stack in XLA already")
-            from ..ops.bsrnn_stack import supports_batch
-
-            # hd = 2*channels: the time-LSTM hidden (what bsrnn_stack_step
-            # derives from the carry's last axis). A batch with no
-            # sublane-aligned kernel tile falls back to the
-            # math-identical XLA scan body instead of raising.
-            if not supports_batch(b, self.n_bands, self.channels,
-                                  2 * self.channels, self.num_layers,
-                                  jnp.dtype(wav.dtype).itemsize):
+            # A batch with no sublane-aligned kernel tile falls back to
+            # the math-identical XLA scan body instead of raising. The
+            # alignment follows the ACTIVATION dtype the kernel sees —
+            # derived as result_type(wav, params) rather than wav alone,
+            # defensively: stream()'s supported contract is wav.dtype ==
+            # params dtype (a mixed pair fails the XLA scan carry check
+            # too), and under that contract the two derivations agree.
+            act_dt = jnp.result_type(
+                wav.dtype, jax.tree.leaves(variables["params"])[0].dtype)
+            if not self._fused_batch_ok(b, act_dt):
                 fused_plan = None
         if fused_plan is not None:
             hops = wav[:, : t * hop].reshape(b, t, hop).swapaxes(0, 1)

@@ -251,15 +251,25 @@ class Model(DefaultModel):
                                              carry["h"])
         return self._stream_back(spec, mask, carry, stft_c, h_t)
 
-    def validate_fused_batch(self, batch: int, dtype=jnp.float32) -> None:
-        """Raise early (with guidance) when a fused serving batch has no
-        sublane-aligned kernel tile — called by StreamingEngine(fused=True)
-        at construction. stream() instead falls back to XLA silently."""
+    def _fused_batch_ok(self, batch: int, dtype) -> bool:
+        """Single source of truth for the fused kernel's batch-tile check
+        (consulted by both stream()'s fallback and validate_fused_batch).
+        hd = channels_frnn, the kernel's per-direction sweep hidden (what
+        dprnn_stack_step derives from plan w_fhh [NB, 2, H, 3H]). dtype
+        must be the ACTIVATION dtype the kernel will see."""
         from ...ops.dprnn_stack import supports_batch
 
         dp = self.dp
-        if not supports_batch(batch, dp.freq, dp.channels, dp.channels_frnn,
-                              dp.num_blocks, jnp.dtype(dtype).itemsize):
+        return supports_batch(batch, dp.freq, dp.channels, dp.channels_frnn,
+                              dp.num_blocks, jnp.dtype(dtype).itemsize)
+
+    def validate_fused_batch(self, batch: int, dtype=jnp.float32) -> None:
+        """Raise early (with guidance) when a fused serving batch has no
+        sublane-aligned kernel tile — called by StreamingEngine(fused=True)
+        at construction (per shard when devices>1) and by bench.py before
+        labelling a run fused. stream() instead falls back to XLA
+        silently."""
+        if not self._fused_batch_ok(batch, dtype):
             raise ValueError(
                 f"fused dprnn serving needs a sublane-aligned capacity "
                 f"(multiple of 8 for f32 / 16 for bf16 with a tile fitting "
@@ -278,14 +288,13 @@ class Model(DefaultModel):
         chunk_frames > 1 is invalid for ANY batch (DefaultModel.stream
         raises)."""
         if fused_plan is not None and chunk_frames == 1:
-            from ...ops.dprnn_stack import supports_batch
-
-            dp = self.dp
-            # hd = channels_frnn: the kernel's per-direction hidden size
-            # (dprnn_stack_step derives it from plan w_fhh [NB,2,H,3H])
-            if not supports_batch(int(wav.shape[0]), dp.freq, dp.channels,
-                                  dp.channels_frnn, dp.num_blocks,
-                                  jnp.dtype(wav.dtype).itemsize):
+            # alignment follows the ACTIVATION dtype the kernel sees —
+            # derived as result_type(wav, params) rather than wav alone,
+            # defensively: stream()'s supported contract is wav.dtype ==
+            # params dtype, and under that contract the two agree
+            act_dt = jnp.result_type(
+                wav.dtype, jax.tree.leaves(variables["params"])[0].dtype)
+            if not self._fused_batch_ok(int(wav.shape[0]), act_dt):
                 fused_plan = None
         return super().stream(variables, wav, chunk_frames=chunk_frames,
                               unroll=unroll, fused_plan=fused_plan)

@@ -124,10 +124,15 @@ class StreamingEngine:
         self.delay_samples = model.stft_cfg.n_fft - self.hop
         self._variables = variables
         if fused and hasattr(model, "validate_fused_batch"):
-            # fail at construction with a clear message (e.g. dprnn's
-            # sublane-aligned-capacity requirement) instead of deep inside
-            # the kernel's tile selection on the first tick
-            model.validate_fused_batch(capacity, dtype)
+            # fail at construction with a clear message (e.g. dprnn's /
+            # bsrnn's sublane-aligned-capacity requirement) instead of deep
+            # inside the kernel's tile selection on the first tick. With
+            # devices>1 the fused step runs PER SHARD at capacity//devices
+            # (shard_map), so that is the batch the kernel must tile —
+            # capacity % devices is re-checked with its own error below.
+            shard = capacity // devices if devices and devices > 1 \
+                and capacity % devices == 0 else capacity
+            model.validate_fused_batch(shard, dtype)
         if fused:
             # the fused step takes/returns its own carry layout (stacked
             # block carries for the GRU family, rotating-slot K/V caches +

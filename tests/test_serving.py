@@ -416,3 +416,20 @@ def test_fused_engine_dprnn_matches_unfused():
     ref = np.concatenate([
         plain.tick({hp: wav[i * HOP:(i + 1) * HOP]})[hp] for i in range(3)])
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_fused_engine_devices_validates_per_shard(monkeypatch):
+    """With devices>1 the fused step runs per shard at capacity//devices —
+    that is the batch the construction-time validate_fused_batch hook must
+    check, not the full capacity (review r5: an aligned capacity with an
+    unaligned per-shard batch previously died inside the kernel's tile
+    selection on the first tick)."""
+    import fastenhancer_tpu.ops.bsrnn_stack as mod
+
+    model, variables = _build("bsrnn", BSRNN_KWARGS)
+    folded = model.fold(variables)
+    monkeypatch.setattr(mod, "supports_batch",
+                        lambda b, *a, **k: b >= 4)  # per-shard 2 -> reject
+    with pytest.raises(ValueError, match="aligned capacity"):
+        StreamingEngine(model, folded, capacity=4, fused=True, devices=2)
+    StreamingEngine(model, folded, capacity=4, fused=True)  # shard 4: ok
