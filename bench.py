@@ -163,10 +163,7 @@ def main():
     # takes fused_plan (its fused band-stack kernel)
     def make_bench_fn(plan):
         def stream(v, p, w):
-            if fe_family:
-                return model.stream(v, w, chunk_frames=chunk, unroll=unroll,
-                                    fused_plan=p)
-            if p is not None:  # bsrnn fused band-stack
+            if fe_family or p is not None:  # fe family / bsrnn fused stack
                 return model.stream(v, w, chunk_frames=chunk, unroll=unroll,
                                     fused_plan=p)
             return model.stream(v, w, chunk_frames=chunk, unroll=unroll)

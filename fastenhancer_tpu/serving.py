@@ -123,6 +123,21 @@ class StreamingEngine:
         self.hop = model.stft_cfg.hop_size
         self.delay_samples = model.stft_cfg.n_fft - self.hop
         self._variables = variables
+        # The engine's contract: variables are cast to `dtype` (the
+        # carry/activation dtype). A mismatched pair fails later with an
+        # opaque error (conv dtype mismatch unfused, a Pallas ref-swap
+        # dtype error fused) — surface it clearly at construction instead.
+        flt = [l for l in jax.tree.leaves(variables)
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                         jnp.floating)]
+        if flt and any(l.dtype != jnp.dtype(dtype) for l in flt):
+            bad = next(l.dtype for l in flt if l.dtype != jnp.dtype(dtype))
+            raise ValueError(
+                f"StreamingEngine(dtype={jnp.dtype(dtype).name}) requires "
+                f"the variables cast to that dtype (found {bad} leaves) — "
+                "cast the float leaves of the pytree first, e.g. "
+                "jax.tree.map(lambda a: a.astype(dtype) if "
+                "jnp.issubdtype(a.dtype, jnp.floating) else a, variables)")
         if fused and hasattr(model, "validate_fused_batch"):
             # fail at construction with a clear message (e.g. dprnn's /
             # bsrnn's sublane-aligned-capacity requirement) instead of deep
@@ -130,6 +145,7 @@ class StreamingEngine:
             # devices>1 the fused step runs PER SHARD at capacity//devices
             # (shard_map), so that is the batch the kernel must tile —
             # capacity % devices is re-checked with its own error below.
+            # dtype IS the activation dtype here (contract enforced above).
             shard = capacity // devices if devices and devices > 1 \
                 and capacity % devices == 0 else capacity
             model.validate_fused_batch(shard, dtype)

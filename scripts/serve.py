@@ -46,6 +46,7 @@ def main():
         ap.error("--stagger must be >= 1 (ticks between admissions)")
 
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from fastenhancer_tpu.utils.hparams import get_hparams
@@ -64,6 +65,13 @@ def main():
     if args.fused:
         variables = model.fold(variables)
     dtype = jnp.bfloat16 if args.dtype in ("bf16", "bfloat16") else jnp.float32
+    if dtype != jnp.float32:
+        # the engine's contract: variables cast to the carry/activation
+        # dtype (it refuses a mismatched pair at construction)
+        variables = jax.tree.map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, variables, is_leaf=lambda a: a is None)
     engine = StreamingEngine(model, variables, capacity=args.capacity,
                              dtype=dtype, fused=args.fused)
     sr = hps.data.sampling_rate

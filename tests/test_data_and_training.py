@@ -400,6 +400,25 @@ def test_serve_cli(smoke_run, corpus, tmp_path):
     assert np.isfinite(y).all() and np.abs(y).max() > 0
 
 
+def test_serve_cli_bf16(smoke_run, corpus, tmp_path):
+    """--dtype bf16 must cast the variables to the engine dtype (it used
+    to pass f32 variables and die in the first tick's conv with a dtype
+    mismatch)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out_dir = str(tmp_path / "served_bf16")
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.serve", "-n", "smoke",
+         "--base_dir", str(smoke_run / "logs"),
+         "-i", str(corpus / "noisy"), "-o", out_dir,
+         "--capacity", "2", "--stagger", "1", "--dtype", "bf16"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = sorted(os.listdir(out_dir))
+    assert outs == sorted(os.listdir(corpus / "noisy"))
+    y, _ = read_wav(os.path.join(out_dir, outs[0]))
+    assert np.isfinite(y).all()
+
+
 def test_resample_cli(corpus, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out_dir = str(tmp_path / "res8k")

@@ -433,3 +433,21 @@ def test_fused_engine_devices_validates_per_shard(monkeypatch):
     with pytest.raises(ValueError, match="aligned capacity"):
         StreamingEngine(model, folded, capacity=4, fused=True, devices=2)
     StreamingEngine(model, folded, capacity=4, fused=True)  # shard 4: ok
+
+
+def test_engine_rejects_mismatched_variable_dtype():
+    """A bf16 engine over f32 variables used to die later with an opaque
+    conv/Pallas dtype error (and scripts/serve.py --dtype bf16 hit exactly
+    that by never casting); the engine now states the contract at
+    construction."""
+    import jax.numpy as jnp
+
+    model, variables = _build("fastenhancer.default", T_KWARGS)
+    with pytest.raises(ValueError, match="cast to that dtype"):
+        StreamingEngine(model, variables, capacity=2, dtype=jnp.bfloat16)
+    # cast pytree constructs fine
+    cast = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, variables, is_leaf=lambda a: a is None)
+    StreamingEngine(model, cast, capacity=2, dtype=jnp.bfloat16)
