@@ -81,13 +81,38 @@ def main():
     hop = model.hop_size
     b = args.streams
 
+    def _check_fused_batch():
+        # dprnn/bsrnn kernels need a sublane-aligned batch tile — surface
+        # the requirement as a CLI error instead of a deep Mosaic one
+        if hasattr(model, "validate_fused_batch"):
+            try:
+                model.validate_fused_batch(b, jnp.float32)
+            except ValueError as e:
+                ap.error(f"--fused with --streams {b}: {e}")
+
     if args.spec2spec:
         n_freq_in = model.stft_cfg.n_freq - 1  # fastenhancer drops last bin
-        carry0 = model.init_streaming_carry(b)
 
         if args.fused:
+            import inspect
+
             if args.no_fold:
                 ap.error("--fused requires folded variables (drop --no-fold)")
+            # the spec2spec fused step threads ONE carry value through
+            # model_forward_fused(variables, plan, spec, <carry>) — true
+            # for the GRU-carry families (default/conv_stft/ln stacked h,
+            # time_kernel's nested conv-cache dict, dprnn's f-major h) but
+            # not dptransformer (separate kc/vc/bias feeds) or bsrnn (no
+            # spec2spec fused form); those export via the wav2wav --fused
+            # step instead, which is uniform across the zoo.
+            if not hasattr(model, "model_forward_fused") or len(
+                    inspect.signature(
+                        model.model_forward_fused).parameters) != 4:
+                ap.error(
+                    "--spec2spec --fused needs a single-carry "
+                    "model_forward_fused; this family exports fused via "
+                    "the wav2wav form (drop --spec2spec)")
+            _check_fused_batch()
             # NOTE: the fused plan is closed over, so it is baked into the
             # jax.export artifact as CONSTANTS — the block-stack weights of
             # THIS checkpoint. The .params.pkl shipped alongside still holds
@@ -97,13 +122,15 @@ def main():
             # checkpoint for --fused artifacts (same constraint as the
             # wav2wav --fused form below).
             plan = model.build_stack_plan(variables)
-            carry0["h"] = jnp.stack(carry0["h"])  # fused step: stacked h
+            carry0 = model.init_streaming_carry(b, fused=True)
 
             def forward(variables, spec, h):
                 # block stack as one Pallas program (the paper's RTF form +
                 # the fused kernel)
                 return model.model_forward_fused(variables, plan, spec, h)
         else:
+            carry0 = model.init_streaming_carry(b)
+
             def forward(variables, spec, h):
                 mask, h_t, _ = model.model_forward(
                     variables["params"], variables["stats"], spec,
@@ -120,13 +147,17 @@ def main():
     elif args.fused:
         if args.no_fold:
             ap.error("--fused requires folded variables (drop --no-fold)")
+        _check_fused_batch()
         plan = model.build_stack_plan(variables)
 
         def step(variables, carry, wav_hop):
+            # streaming_step_fused(variables, plan, carry, wav_hop) is the
+            # uniform fused entry across the zoo (default/conv_stft/
+            # time_kernel/dprnn/dptransformer/ln and bsrnn); the model's
+            # fused=True carry supplies the right layout per family
             return model.streaming_step_fused(variables, plan, carry, wav_hop)
 
-        carry0 = model.init_streaming_carry(b)
-        carry0["h"] = jnp.stack(carry0["h"])  # fused step carries stacked h
+        carry0 = model.init_streaming_carry(b, fused=True)
         feed = jnp.zeros((b, hop), jnp.float32)
     else:
         def step(variables, carry, wav_hop):

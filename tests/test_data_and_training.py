@@ -537,3 +537,48 @@ def test_infer_loader_buckets_lengths(corpus):
     assert n == 8
     # corpus lengths span 16000..30336 -> at most ceil(14336/4096)+1 buckets
     assert len(lengths) <= 5, lengths
+
+
+def test_export_fused_time_kernel(tmp_path):
+    """export --fused now builds the model's fused=True carry, so the
+    uniform streaming_step_fused entry exports beyond the default-block
+    family. time_kernel is the structural test: its fused carry nests the
+    stacked GRU array with 2-D conv frame caches — the old
+    jnp.stack(carry["h"]) would have thrown on the dict. Export on a
+    checkpoint written without training, then drive the artifact."""
+    cfg = yaml.safe_load(open("configs/ablation/time_kernel_b.yaml"))
+    cfg["model_kwargs"].update({"channels": 8, "kernel_size_freq": [4, 3]})
+    cfg["model_kwargs"]["rnnformer_kwargs"].update(
+        {"num_blocks": 1, "channels": 8, "freq": 8, "num_heads": 2})
+    run = tmp_path / "logs" / "tk"
+    run.mkdir(parents=True)
+    (run / "config.yaml").write_text(yaml.dump(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    mk = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '.');"
+         "from fastenhancer_tpu.utils.hparams import get_hparams;"
+         "from fastenhancer_tpu.wrappers import get_wrapper;"
+         f"hps = get_hparams(None, base_dir={str(run)!r});"
+         "w = get_wrapper(hps.wrapper)(hps, train=False); w.save(1)"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600)
+    assert mk.returncode == 0, mk.stderr[-2000:]
+    art = str(tmp_path / "tk.jaxexport")
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.export", "-n", "tk",
+         "--base_dir", str(tmp_path / "logs"), "--fused", "--streams", "2",
+         "--save", art, "--seconds", "0.2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = str(tmp_path / "tk_out.wav")
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts.run_exported", art,
+         "--params", art + ".params.pkl",
+         "-i", "/root/reference/onnx/p232_013.wav", "-o", out],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    y, _ = read_wav(out)
+    assert np.isfinite(y).all()
